@@ -1,0 +1,119 @@
+"""End-loss gradient and saliency capture.
+
+TPU-native analog of the reference's hook-based capture
+(``any_precision/quantization/gradients.py:10-224``):
+
+- weight "gradients": per-module sum over calibration sequences of the
+  *squared* weight gradient (the reference's ``square_grad_hook`` at
+  ``gradients.py:131-137`` squares each backward's contribution before
+  autograd accumulates it).
+- saliency: per-module output-activation gradients, channel-grouped:
+  ``mean_group((1e3 * g)^2)`` -> [num_seqs, seq_len, num_groups]
+  (``gradients.py:98-113``).
+
+Instead of hooks, the forward threads zero-valued additive "taps" through
+every module output (``llama.forward_unrolled(taps=...)``); one ``jax.grad``
+over (params, taps) yields both quantities in a single backward.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+
+logger = logging.getLogger(__name__)
+
+SALIENCY_SCALE = 1e3  # reference gradients.py:106
+
+
+def _loss_fn(params, taps, cfg: ModelConfig, tokens):
+    logits = llama.forward_unrolled(params, cfg, tokens, taps=taps)
+    return llama.cross_entropy_loss(logits, tokens)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_groups"))
+def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
+                  num_groups: int):
+    """One calibration sequence batch -> (squared weight grads, saliency).
+
+    tokens: [B, S]. Returns:
+      gsq:      {module: [L, out, in]} squared weight gradients (f32)
+      saliency: {module: [B, S, G] summed over layers? no — [L, B, S, G]}
+    """
+    L = llama.num_layers_of(params)
+    B, S = tokens.shape
+    taps = llama.make_taps(cfg, L, B, S)
+    wgrads, tgrads = jax.grad(_loss_fn, argnums=(0, 1))(params, taps, cfg, tokens)
+
+    proj = {m: wgrads["layers"][m] for m in llama.MODULE_NAMES}
+    gsq = jax.tree_util.tree_map(lambda g: (g.astype(jnp.float32)) ** 2, proj)
+
+    def group_sal(g):
+        # g: [L, B, S, out] -> [L, B, S, G]
+        out = g.shape[-1]
+        gs = out // num_groups
+        g = (g.astype(jnp.float32) * SALIENCY_SCALE) ** 2
+        return g.reshape(*g.shape[:-1], num_groups, gs).mean(axis=-1)
+
+    saliency = {m: group_sal(tgrads[m]) for m in llama.MODULE_NAMES}
+    return gsq, saliency
+
+
+def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
+                  num_groups: int = 1, batch_size: int = 1,
+                  compute_saliency: bool = True,
+                  ) -> Tuple[List[Dict[str, np.ndarray]],
+                             Optional[List[Dict[str, np.ndarray]]]]:
+    """Full calibration sweep (reference get_gradients driver loop,
+    gradients.py:142-146).
+
+    tokens: [N, S] int array. Returns:
+      gradients: per-layer list of {module: [out, in]} accumulated grad^2
+      saliency:  per-layer list of {module: [N, S, G]} (None if disabled)
+    """
+    N, S = tokens.shape
+    L = cfg.num_layers
+    acc_gsq = None
+    sal_chunks: List[Dict[str, np.ndarray]] = []
+
+    for start in range(0, N, batch_size):
+        batch = jnp.asarray(tokens[start:start + batch_size])
+        gsq, sal = gradient_step(params, cfg, batch, num_groups)
+        if acc_gsq is None:
+            acc_gsq = gsq
+        else:
+            acc_gsq = jax.tree_util.tree_map(jnp.add, acc_gsq, gsq)
+        if compute_saliency:
+            sal_chunks.append({m: np.asarray(v) for m, v in sal.items()})
+        logger.info("gradients: %d/%d sequences", min(start + batch_size, N), N)
+
+    gradients = []
+    for l in range(L):
+        gradients.append({m: np.asarray(acc_gsq[m][l]) for m in llama.MODULE_NAMES})
+
+    saliency = None
+    if compute_saliency:
+        saliency = []
+        for l in range(L):
+            layer = {}
+            for m in llama.MODULE_NAMES:
+                # [L, B, S, G] chunks -> concat over batch dim -> [N, S, G]
+                layer[m] = np.concatenate([c[m][l] for c in sal_chunks], axis=0)
+            saliency.append(layer)
+    return gradients, saliency
+
+
+def regroup_saliency(sal: np.ndarray, num_groups: int) -> np.ndarray:
+    """[N, S, G0] -> [N, S, G] by averaging G0/G adjacent groups
+    (reference layerwise regrouping, activations.py:495-502)."""
+    N, S, g0 = sal.shape
+    assert g0 % num_groups == 0
+    return sal.reshape(N, S, num_groups, g0 // num_groups).mean(axis=-1)

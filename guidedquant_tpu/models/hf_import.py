@@ -1,0 +1,124 @@
+"""HuggingFace checkpoint import: torch/safetensors state dict -> pytree.
+
+Analog of the reference's reliance on ``AutoModelForCausalLM`` + the
+``ModelAnalyzer`` accessors (``any_precision/analyzer/analyzer.py:45-137``):
+we convert an HF Llama-family checkpoint into the stacked-pytree layout of
+``guidedquant_tpu.models.llama`` once, up front.
+
+Weights stay in HF's (out_features, in_features) orientation, which is the
+(N, K) convention used throughout the quantization stack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import ModelConfig, RopeScaling
+
+
+def config_from_hf(hf_config) -> ModelConfig:
+    """Build a ModelConfig from a transformers LlamaConfig-like object."""
+    rs = None
+    raw = getattr(hf_config, "rope_scaling", None)
+    if raw:
+        # transformers uses {"rope_type": "llama3", ...}
+        rt = raw.get("rope_type", raw.get("type", None))
+        if rt == "llama3":
+            rs = RopeScaling(
+                factor=raw["factor"],
+                low_freq_factor=raw["low_freq_factor"],
+                high_freq_factor=raw["high_freq_factor"],
+                original_max_position_embeddings=raw["original_max_position_embeddings"],
+            )
+        elif rt in (None, "default"):
+            rs = None
+        else:
+            raise NotImplementedError(f"rope scaling {rt!r}")
+    head_dim = getattr(hf_config, "head_dim", None)
+    if head_dim is None:
+        head_dim = hf_config.hidden_size // hf_config.num_attention_heads
+    return ModelConfig(
+        name=getattr(hf_config, "name_or_path", "hf-import") or "hf-import",
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                             hf_config.num_attention_heads),
+        head_dim=head_dim,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=rs,
+        rms_norm_eps=hf_config.rms_norm_eps,
+        tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        max_seq_len=getattr(hf_config, "max_position_embeddings", 4096),
+    )
+
+
+_LAYER_KEYS = {
+    "q_proj": "self_attn.q_proj.weight",
+    "k_proj": "self_attn.k_proj.weight",
+    "v_proj": "self_attn.v_proj.weight",
+    "o_proj": "self_attn.o_proj.weight",
+    "gate_proj": "mlp.gate_proj.weight",
+    "up_proj": "mlp.up_proj.weight",
+    "down_proj": "mlp.down_proj.weight",
+    "attn_norm": "input_layernorm.weight",
+    "mlp_norm": "post_attention_layernorm.weight",
+}
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor
+    t = t.detach().cpu()
+    if str(t.dtype) == "torch.bfloat16":
+        t = t.float()
+    return t.numpy()
+
+
+def params_from_state_dict(state: Dict[str, Any], cfg: ModelConfig,
+                           dtype=jnp.float32) -> Dict[str, Any]:
+    """HF Llama state_dict (torch tensors or numpy) -> stacked pytree."""
+    def get(k):
+        return _to_np(state[k])
+
+    L = cfg.num_layers
+    layers: Dict[str, Any] = {}
+    for ours, theirs in _LAYER_KEYS.items():
+        stacked = np.stack(
+            [get(f"model.layers.{i}.{theirs}") for i in range(L)], axis=0)
+        layers[ours] = jnp.asarray(stacked, dtype)
+
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        key = "lm_head.weight"
+        if key not in state:  # some tied checkpoints omit it
+            key = "model.embed_tokens.weight"
+        params["lm_head"] = jnp.asarray(get(key), dtype)
+    return params
+
+
+def load_hf_model(model_or_path, dtype=jnp.float32):
+    """Load a transformers model (object or path) -> (cfg, params).
+
+    Accepts an already-instantiated ``transformers`` model to keep tests
+    hermetic (no network).
+    """
+    if isinstance(model_or_path, (str, os.PathLike)):
+        from transformers import AutoModelForCausalLM
+        model = AutoModelForCausalLM.from_pretrained(model_or_path)
+    else:
+        model = model_or_path
+    cfg = config_from_hf(model.config)
+    params = params_from_state_dict(model.state_dict(), cfg, dtype)
+    return cfg, params

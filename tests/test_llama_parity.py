@@ -1,0 +1,89 @@
+"""Model forward parity vs HuggingFace transformers (tiny random Llama).
+
+The reference builds directly on HF models; our from-scratch stack must
+reproduce HF logits so that perplexity comparisons are apples-to-apples.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from guidedquant_tpu.models import llama
+from guidedquant_tpu.models.hf_import import load_hf_model
+
+
+def _tiny_hf_model(tie=False, llama3_rope=False):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    kwargs = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=tie,
+        attn_implementation="eager",
+    )
+    if llama3_rope:
+        kwargs["rope_scaling"] = {
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 32,
+        }
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(LlamaConfig(**kwargs))
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("tie,llama3_rope", [(False, False), (True, True)])
+def test_logits_match_hf(tie, llama3_rope):
+    torch = pytest.importorskip("torch")
+    model = _tiny_hf_model(tie=tie, llama3_rope=llama3_rope)
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.vocab_size, size=(2, 17), dtype=np.int64)
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(tokens)).logits.numpy()
+
+    ours_scan = np.asarray(llama.forward(params, cfg, jnp.asarray(tokens)))
+    ours_unrolled = np.asarray(
+        llama.forward_unrolled(params, cfg, jnp.asarray(tokens)))
+
+    np.testing.assert_allclose(ours_scan, ref, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(ours_unrolled, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_ce_loss_matches_hf():
+    torch = pytest.importorskip("torch")
+    model = _tiny_hf_model()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, cfg.vocab_size, size=(1, 33), dtype=np.int64)
+    with torch.no_grad():
+        t = torch.from_numpy(tokens)
+        ref_loss = model(input_ids=t, labels=t).loss.item()
+    logits = llama.forward(params, cfg, jnp.asarray(tokens))
+    loss = float(llama.cross_entropy_loss(logits, jnp.asarray(tokens)))
+    assert abs(loss - ref_loss) < 1e-3
+
+
+def test_tapped_forward_is_identity_at_zero():
+    model = _tiny_hf_model()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 9)))
+    taps = llama.make_taps(cfg, cfg.num_layers, 1, 9)
+    base = llama.forward_unrolled(params, cfg, tokens)
+    tapped = llama.forward_unrolled(params, cfg, tokens, taps=taps)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(tapped), atol=1e-5)
