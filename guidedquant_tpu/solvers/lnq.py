@@ -1,0 +1,272 @@
+"""LNQ: layerwise non-uniform quantization solver.
+
+JAX re-design of the reference solver
+(``any_precision/quantization/layerwise_quantize.py``):
+
+- objective     sum_g  (dW_g) H_g (dW_g)^T            (objective_function :14-50)
+- update_P      Gauss-Seidel coordinate descent over columns with 128-column
+                blocking and error feedback                    (update_P :52-127)
+- update_C      per-row weighted least squares for the codebook.
+                The reference builds A = L^T P and runs a giant ridge lstsq
+                (update_C :129-208); we solve the *same* minimizer via the
+                normal equations  (P^T H P + lam I) c = P^T H w  — no Cholesky
+                factor needed, the heavy contractions ride the MXU in f32 and
+                the tiny (2^b x 2^b) solves run in f64 on host.
+- train_least_squares   damped-PD outer loop with early stop    (:210-292)
+
+Saliency groups partition the *output rows*: row i of W uses Hessian
+H[i // (N // G)].
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+CD_BLOCK = 128  # reference cd_block_size (layerwise_quantize.py:91)
+LAMBDA_REG = 1e-7  # ridge (:177)
+
+
+# ---------------------------------------------------------------------------
+# Hessian damping (reference :225-241)
+# ---------------------------------------------------------------------------
+
+def dampen_hessians(H: np.ndarray, init_damp: float = 1e-5,
+                    max_damp: float = 1.0) -> np.ndarray:
+    """Ensure each H[g] is positive definite by scaled diagonal damping."""
+    H = np.array(H, dtype=np.float64, copy=True)
+    G, D, _ = H.shape
+    for g in range(G):
+        avg_diag = float(np.mean(np.diag(H[g])))
+        if avg_diag <= 0:
+            avg_diag = 1.0
+        damp, prev = init_damp, 0.0
+        while True:
+            try:
+                np.linalg.cholesky(H[g])
+                if prev:
+                    logger.info("H[%d] dampened with factor %.2e", g, prev)
+                break
+            except np.linalg.LinAlgError:
+                H[g][np.diag_indices(D)] += (damp - prev) * avg_diag
+                prev, damp = damp, damp * 10
+                if damp > max_damp * 10:
+                    raise RuntimeError(f"H[{g}] not PD even at damp {prev:.1e}")
+    return H.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Objective
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def objective(W: jnp.ndarray, H: jnp.ndarray, labels: jnp.ndarray,
+              C: jnp.ndarray) -> jnp.ndarray:
+    """mean over rows-within-group of sum_g dW_g H_g dW_g^T (matches
+    objective_function's 'nij,njk,nik->i' then mean)."""
+    N, D = W.shape
+    G = H.shape[0]
+    gs = N // G
+    What = jnp.take_along_axis(C, labels, axis=1)
+    dW = (What - W).reshape(G, gs, D)
+    t = jnp.einsum("gij,gjk->gik", dW, H, preferred_element_type=jnp.float32)
+    per_row = jnp.einsum("gik,gik->i", t, dW.astype(t.dtype))
+    return per_row.mean()
+
+
+# ---------------------------------------------------------------------------
+# update_P: blocked Gauss-Seidel coordinate descent
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cd_cycles",))
+def update_P(W: jnp.ndarray, H: jnp.ndarray, labels: jnp.ndarray,
+             C: jnp.ndarray, cd_cycles: int = 4) -> jnp.ndarray:
+    """W [N, D], H [G, D, D], labels [N, D] int32, C [N, ncl] -> new labels.
+
+    Column ordering, 128-column blocking and error-feedback updates follow
+    update_P (layerwise_quantize.py:52-127): B holds sum_{j>k} dW_j Hn[j,k]
+    plus contributions of already-updated columns j<k (Gauss-Seidel).
+    """
+    N, D = W.shape
+    G = H.shape[0]
+    gs = N // G
+    ncl = C.shape[1]
+    BS = min(CD_BLOCK, D)
+    assert D % BS == 0
+
+    Wg = W.reshape(G, gs, D).astype(jnp.float32)
+    Cg = C.reshape(G, gs, ncl).astype(jnp.float32)
+    lab = labels.reshape(G, gs, D).astype(jnp.int32)
+
+    diag = jnp.diagonal(H, axis1=1, axis2=2)  # [G, D]
+    Hn = H / diag[:, None, :]  # column-normalized (:86-89)
+    Hn_tril = jnp.tril(Hn, -1)
+
+    What = jnp.take_along_axis(Cg, lab, axis=2)
+
+    col_ids = jnp.arange(D)
+
+    def one_cycle(carry, _):
+        lab, What = carry
+        B = jnp.einsum("gid,gdk->gik", What - Wg, Hn_tril,
+                       preferred_element_type=jnp.float32)
+
+        def one_block(carry, s):
+            lab, What, B = carry
+            Hn_blk = jax.lax.dynamic_slice(Hn, (0, s, s), (G, BS, BS))
+            B_blk = jax.lax.dynamic_slice(B, (0, 0, s), (G, gs, BS))
+            W_blk = jax.lax.dynamic_slice(Wg, (0, 0, s), (G, gs, BS))
+            lab_blk = jax.lax.dynamic_slice(lab, (0, 0, s), (G, gs, BS))
+            What_blk = jax.lax.dynamic_slice(What, (0, 0, s), (G, gs, BS))
+
+            def one_col(u, st):
+                lab_blk, What_blk, B_blk = st
+                sol = W_blk[:, :, u] - B_blk[:, :, u]  # [G, gs]
+                dist = jnp.abs(sol[:, :, None] - Cg)  # [G, gs, ncl]
+                new = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+                wnew = jnp.take_along_axis(Cg, new[:, :, None], axis=2)[:, :, 0]
+                lab_blk = lab_blk.at[:, :, u].set(new)
+                What_blk = What_blk.at[:, :, u].set(wnew)
+                delta = wnew - W_blk[:, :, u]  # (What - W) at col u (:115)
+                hrow = Hn_blk[:, u, :]  # [G, BS]
+                mask = (jnp.arange(BS) > u).astype(B_blk.dtype)
+                B_blk = B_blk + delta[:, :, None] * (hrow * mask)[:, None, :]
+                return lab_blk, What_blk, B_blk
+
+            lab_blk, What_blk, B_blk = jax.lax.fori_loop(
+                0, BS, one_col, (lab_blk, What_blk, B_blk))
+
+            lab = jax.lax.dynamic_update_slice(lab, lab_blk, (0, 0, s))
+            What = jax.lax.dynamic_update_slice(What, What_blk, (0, 0, s))
+            B = jax.lax.dynamic_update_slice(B, B_blk, (0, 0, s))
+            # propagate the block's final (What - W) to later columns (:118)
+            Hn_rows = jax.lax.dynamic_slice(Hn, (0, s, 0), (G, BS, D))
+            upd = jnp.einsum("gib,gbk->gik", What_blk - W_blk, Hn_rows,
+                             preferred_element_type=jnp.float32)
+            tail_mask = (col_ids >= s + BS).astype(B.dtype)
+            B = B + upd * tail_mask[None, None, :]
+            return (lab, What, B), None
+
+        (lab, What, _), _ = jax.lax.scan(
+            one_block, (lab, What, B), jnp.arange(0, D, BS))
+        return (lab, What), None
+
+    (lab, What), _ = jax.lax.scan(one_cycle, (lab, What), None, length=cd_cycles)
+    return lab.reshape(N, D)
+
+
+# ---------------------------------------------------------------------------
+# update_C: codebook least squares via normal equations
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ncl",))
+def _normal_eq_chunk(H_g: jnp.ndarray, W_rows: jnp.ndarray,
+                     lab_rows: jnp.ndarray, ncl: int):
+    """Rows of one group: H_g [D, D], W_rows [R, D], lab_rows [R, D].
+    Returns M [R, ncl, ncl] = P^T H P and rhs [R, ncl] = P^T H w."""
+    R, D = W_rows.shape
+    O = jax.nn.one_hot(lab_rows, ncl, dtype=jnp.float32)  # [R, D, ncl]
+    HO = jnp.einsum("jk,rkc->rjc", H_g, O,
+                    preferred_element_type=jnp.float32)  # [R, D, ncl]
+    M = jnp.einsum("rjb,rjc->rbc", O, HO, preferred_element_type=jnp.float32)
+    Hw = jnp.einsum("jk,rk->rj", H_g, W_rows,
+                    preferred_element_type=jnp.float32)
+    rhs = jnp.einsum("rjc,rj->rc", O, Hw, preferred_element_type=jnp.float32)
+    return M, rhs
+
+
+def update_C(W: np.ndarray, H: np.ndarray, labels: np.ndarray,
+             ncl: int, chunk_rows: int = 512) -> np.ndarray:
+    """New codebook [N, ncl]: per-row ridge-regularized weighted LS.
+
+    Identical minimizer to the reference's augmented lstsq (A^T A + lam I =
+    P^T H P + lam I); contraction on device, tiny solves in f64 on host.
+    Empty clusters get a singular row/col — the ridge keeps the system
+    solvable and leaves their centroid near zero; rows are then snapped back
+    by the next update_P exactly as in the reference.
+    """
+    N, D = W.shape
+    G = H.shape[0]
+    gs = N // G
+    C_out = np.empty((N, ncl), np.float32)
+    Hj = [jnp.asarray(H[g]) for g in range(G)]
+    for g in range(G):
+        for s in range(g * gs, (g + 1) * gs, chunk_rows):
+            e = min(s + chunk_rows, (g + 1) * gs)
+            M, rhs = _normal_eq_chunk(Hj[g], jnp.asarray(W[s:e]),
+                                      jnp.asarray(labels[s:e]), ncl)
+            M = np.asarray(M, np.float64)
+            rhs = np.asarray(rhs, np.float64)
+            M += LAMBDA_REG * np.eye(ncl)
+            sol = np.linalg.solve(M, rhs[..., None])[..., 0]
+            if np.isnan(sol).any():
+                raise ValueError(f"NaN in update_C rows {s}:{e}")
+            C_out[s:e] = sol.astype(np.float32)
+    return C_out
+
+
+# ---------------------------------------------------------------------------
+# Outer loop (train_least_squares :210-292)
+# ---------------------------------------------------------------------------
+
+def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
+                        init_C: np.ndarray, H: np.ndarray,
+                        num_iterations: int = 3, cd_cycles: int = 4,
+                        ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Alternating minimization with damping + early stop.
+
+    W [N, D], init_labels [N, D], init_C [N, ncl], H [G, D, D].
+    Returns (labels, C, log_dict).
+    """
+    N, D = W.shape
+    ncl = init_C.shape[1]
+    H = dampen_hessians(H)
+
+    Wj = jnp.asarray(W, jnp.float32)
+    Hjj = jnp.asarray(H)
+    labels = np.asarray(init_labels, np.int32)
+    C = np.asarray(init_C, np.float32)
+
+    def obj(lab, Cc):
+        return float(objective(Wj, Hjj, jnp.asarray(lab),
+                               jnp.asarray(Cc)))
+
+    best = obj(labels, C)
+    best_labels, best_C = labels.copy(), C.copy()
+    log = {"objective": [best], "iteration": [0]}
+    logger.info("LNQ initial objective: %.6f", best)
+
+    for it in range(num_iterations):
+        if it > 0:
+            prev = labels
+            labels = np.asarray(update_P(Wj, Hjj, jnp.asarray(labels),
+                                         jnp.asarray(C), cd_cycles))
+            changed = (prev != labels).mean() * 100
+            logger.info("LNQ iter %d P-update: %.2f%% assignments changed",
+                        it + 1, changed)
+        o = obj(labels, C)
+        log["objective"].append(o)
+        log["iteration"].append(it + 1)
+        logger.info("LNQ iter %d (P): objective %.6f", it + 1, o)
+
+        C = update_C(W, H, labels, ncl)
+        o = obj(labels, C)
+        log["objective"].append(o)
+        log["iteration"].append(it + 1)
+        if o < best:
+            best, best_labels, best_C = o, labels.copy(), C.copy()
+            logger.info("LNQ iter %d (C): objective %.6f | improved", it + 1, o)
+        else:
+            logger.info("LNQ iter %d (C): objective %.6f | not improved, "
+                        "reverting and stopping", it + 1, o)
+            labels, C = best_labels, best_C
+            break
+
+    return np.asarray(best_labels, np.uint8), best_C, log
