@@ -64,6 +64,11 @@ def layer_hessian_step(lp, cfg: ModelConfig, x: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _plain_layer_step(lp, cfg: ModelConfig, x, cos, sin, mask):
+    return llama.decoder_layer(lp, cfg, x, cos, sin, mask)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def embed_step(params, cfg: ModelConfig, tokens):
     B, S = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
@@ -131,10 +136,7 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
                 acc = hess if acc is None else jax.tree_util.tree_map(
                     jnp.add, acc, hess)
             else:
-                out, _ = jax.jit(
-                    lambda lp, x, cos, sin, mask: llama.decoder_layer(
-                        lp, cfg, x, cos, sin, mask)[0]
-                )(lp, x, cos, sin, mask_j)
+                out = _plain_layer_step(lp, cfg, x, cos, sin, mask_j)
             acts[bi] = np.asarray(out)
         layer_result = ({m: np.asarray(v) for m, v in acc.items()}
                         if acc is not None else {})

@@ -1,0 +1,55 @@
+"""Perplexity evaluation harness.
+
+Analog of the reference's chunked ppl protocol
+(``any_precision/evaluate/eval.py:162-234``, ``run_eval.py:32-67``):
+non-overlapping context-length chunks over a contiguous token stream,
+next-token NLL averaged over all predicted positions, ppl = exp(mean NLL).
+Works identically for dense and packed (AnyPrecLinear) params.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.config import ModelConfig
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _chunk_nll(params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """tokens [B, S] -> summed next-token NLL over B*(S-1) positions."""
+    logits = llama.forward(params, cfg, tokens)
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = tokens[:, 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(logz - gold)
+
+
+def evaluate_ppl(params, cfg: ModelConfig, token_stream: np.ndarray,
+                 ctx_len: int = 2048, batch_size: int = 1,
+                 verbose: bool = True) -> float:
+    """token_stream: 1-D contiguous token ids (e.g. tokenized test set)."""
+    stream = np.asarray(token_stream).reshape(-1)
+    n_chunks = len(stream) // ctx_len
+    assert n_chunks > 0, "token stream shorter than one context"
+    chunks = stream[:n_chunks * ctx_len].reshape(n_chunks, ctx_len)
+
+    total_nll, total_pred = 0.0, 0
+    for s in range(0, n_chunks, batch_size):
+        batch = jnp.asarray(chunks[s:s + batch_size])
+        total_nll += float(_chunk_nll(params, cfg, batch))
+        total_pred += batch.shape[0] * (ctx_len - 1)
+        if verbose:
+            logger.info("ppl: %d/%d chunks, running ppl %.4f",
+                        min(s + batch_size, n_chunks), n_chunks,
+                        float(np.exp(total_nll / total_pred)))
+    return float(np.exp(total_nll / total_pred))

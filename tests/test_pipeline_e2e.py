@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests: quantize a tiny model through both pipelines,
+pack, reload, evaluate — the minimum e2e slice of SURVEY.md §7.2."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guidedquant_tpu.models import llama, get_config
+from guidedquant_tpu.pipelines import any_precision_quantize, layerwise_nuq
+from guidedquant_tpu.formats.anyprec import load_packed, set_model_precision
+from guidedquant_tpu.evaluate import evaluate_ppl
+from guidedquant_tpu.nn.linear import AnyPrecLinear, dequantize_anyprec
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = get_config("tiny").replace(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 96, size=(6, 48), dtype=np.int32)
+    stream = rng.integers(0, 96, size=(512,), dtype=np.int32)
+    return cfg, params, tokens, stream
+
+
+def test_scalar_pipeline_e2e(tiny_model, tmp_path):
+    cfg, params, tokens, stream = tiny_model
+    cache = str(tmp_path / "cache")
+    packed_dir = any_precision_quantize(
+        "tinytest", cfg=cfg, params=params, seed_precision=2,
+        parent_precision=4, cache_dir=cache, dataset="synthetic",
+        seq_len=48, num_examples=6, tokens=tokens)
+    assert os.path.exists(os.path.join(packed_dir, "model.npz"))
+
+    qcfg, qparams = load_packed(packed_dir, dtype=jnp.float32)
+    assert isinstance(qparams["layers"]["q_proj"], AnyPrecLinear)
+    assert qparams["layers"]["q_proj"].precision == 4
+
+    # fp vs 4-bit quantized ppl: quantized must be finite and not absurd
+    ppl_fp = evaluate_ppl(params, cfg, stream, ctx_len=64, verbose=False)
+    ppl_q4 = evaluate_ppl(qparams, qcfg, stream, ctx_len=64, verbose=False)
+    q2 = set_model_precision(qparams, 2)
+    ppl_q2 = evaluate_ppl(q2, qcfg, stream, ctx_len=64, verbose=False)
+    assert np.isfinite(ppl_q4) and np.isfinite(ppl_q2)
+    # 4-bit should track fp within a factor; 2-bit strictly worse than 4-bit
+    assert ppl_q4 < ppl_fp * 1.5
+    assert ppl_q4 <= ppl_q2 * 1.05
+
+    # dequantized weights must equal lut[codes] for the parent precision
+    lab = np.load(os.path.join(
+        cache, "quantized",
+        "tinytest-w4_orig2-synthetic_s6_blk48", "weights", "l0.npz"))
+    deq = np.asarray(dequantize_anyprec(
+        jax.tree_util.tree_map(lambda x: x[0], qparams["layers"]["q_proj"]),
+        bits=4, dtype=jnp.float32))
+    lut4 = np.load(os.path.join(
+        cache, "quantized",
+        "tinytest-w4_orig2-synthetic_s6_blk48", "lut_4", "l0.npz"))
+    expect = np.take_along_axis(
+        lut4["q_proj"][:, 0].astype(np.float32),
+        lab["q_proj"][:, 0].astype(np.int64), axis=1)
+    np.testing.assert_allclose(deq, expect.astype(np.float16), atol=1e-3)
+
+
+def test_scalar_pipeline_resume(tiny_model, tmp_path):
+    """Re-running the pipeline must skip completed work and reproduce the
+    same packed artifact (layer-resume semantics)."""
+    cfg, params, tokens, _ = tiny_model
+    cache = str(tmp_path / "cache")
+    kw = dict(cfg=cfg, params=params, seed_precision=2, parent_precision=3,
+              cache_dir=cache, dataset="synthetic", seq_len=48,
+              num_examples=6, tokens=tokens)
+    d1 = any_precision_quantize("tinytest", **kw)
+    m1 = dict(np.load(os.path.join(d1, "model.npz")))
+    d2 = any_precision_quantize("tinytest", **kw)
+    m2 = dict(np.load(os.path.join(d2, "model.npz")))
+    assert sorted(m1) == sorted(m2)
+    for k in m1:
+        np.testing.assert_array_equal(m1[k], m2[k])
+
+
+def test_lnq_pipeline_e2e(tiny_model, tmp_path):
+    cfg, params, tokens, stream = tiny_model
+    cache = str(tmp_path / "cache")
+    packed_dir = layerwise_nuq(
+        "tinytest", cfg=cfg, params=params, seed_precision=3,
+        cache_dir=cache, dataset="synthetic", seq_len=48, num_examples=6,
+        num_groups=2, num_iterations=2, cd_cycles=2, tokens=tokens,
+        hessian_batch_size=3)
+    qcfg, qparams = load_packed(packed_dir, dtype=jnp.float32)
+    ppl_fp = evaluate_ppl(params, cfg, stream, ctx_len=64, verbose=False)
+    ppl_lnq = evaluate_ppl(qparams, qcfg, stream, ctx_len=64, verbose=False)
+    assert np.isfinite(ppl_lnq)
+    assert ppl_lnq < ppl_fp * 1.5
+
+    # LNQ must not be worse than its SqueezeLLM seed init on the guided
+    # objective — verified via the logged objective traces.
+    import json
+    lw = os.path.join(cache, "layerwise_quantized")
+    qdir = os.path.join(lw, os.listdir(lw)[0])
+    with open(os.path.join(qdir, "log_dict0.json")) as f:
+        logs = json.load(f)
+    for m, log in logs.items():
+        assert min(log["objective"]) <= log["objective"][0] + 1e-9, m
+
+
+def test_lnq_hessian_stage_resume(tiny_model, tmp_path):
+    cfg, params, tokens, _ = tiny_model
+    cache = str(tmp_path / "cache")
+    kw = dict(cfg=cfg, params=params, seed_precision=3, cache_dir=cache,
+              dataset="synthetic", seq_len=48, num_examples=6, num_groups=1,
+              tokens=tokens, mode="hessians")
+    layerwise_nuq("tinytest", **kw)
+    hdir = os.path.join(cache, "hessians",
+                        "tinytest-synthetic_s6_blk48_g1")
+    files = sorted(os.listdir(hdir))
+    assert files == ["l0.npz", "l1.npz"]
+    h0 = dict(np.load(os.path.join(hdir, "l0.npz")))
+    # symmetric PSD-ish
+    for m, H in h0.items():
+        assert H.ndim == 3 and H.shape[1] == H.shape[2]
+        np.testing.assert_allclose(H, np.swapaxes(H, 1, 2), atol=1e-3 * np.abs(H).max())
+    # delete one layer; re-run recomputes only that one (mtime check)
+    t0 = os.path.getmtime(os.path.join(hdir, "l0.npz"))
+    os.remove(os.path.join(hdir, "l1.npz"))
+    layerwise_nuq("tinytest", **kw)
+    assert os.path.exists(os.path.join(hdir, "l1.npz"))
+    assert os.path.getmtime(os.path.join(hdir, "l0.npz")) == t0
