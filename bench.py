@@ -1,0 +1,82 @@
+"""Headline benchmark: single-chip decode throughput, 2-bit LNQ-format vs
+bf16 (the reference's 43 -> 130 tok/s on RTX 3090, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value        = 2-bit decode tok/s / bf16 decode tok/s on the same geometry
+vs_baseline  = value / 3.02   (the reference's measured FP16->2-bit speedup)
+
+Runs on the default backend (the real TPU chip under axon). Model geometry
+is Llama-3.2-1B-class so the bf16 baseline fits alongside the 2-bit model;
+weights are random (throughput is weight-value independent).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SPEEDUP = 130.0 / 43.0  # BASELINE.md RTX 3090 numbers
+
+
+def _decode_tok_s(params, cfg, n_tokens=64, batch=1, max_seq=256):
+    """Steady-state decode throughput via the on-device decode loop.
+
+    NOTE: timing forces a host value fetch — block_until_ready alone is
+    unreliable through the axon tunnel (see .claude/skills/verify/SKILL.md).
+    """
+    import jax
+    import jax.numpy as jnp
+    from guidedquant_tpu.serve import engine
+
+    state = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    # warmup / compile
+    toks, tok, state = engine.decode_n_tokens(params, cfg, tok, state, n_tokens)
+    _ = np.asarray(tok)
+
+    t0 = time.perf_counter()
+    toks, tok, state = engine.decode_n_tokens(params, cfg, tok, state, n_tokens)
+    _ = np.asarray(tok)  # full sync
+    dt = time.perf_counter() - t0
+    return n_tokens * batch / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from guidedquant_tpu.models import llama, get_config
+    from __graft_entry__ import _build_quantized_llama
+
+    quick = os.environ.get("BENCH_QUICK", "0") == "1"
+    cfg = get_config("llama-3.2-1b").replace(max_seq_len=1024)
+    if quick:
+        cfg = cfg.replace(num_layers=4)
+
+    n_tokens = 32 if quick else 128
+
+    params_bf16 = llama.init_params(cfg, jax.random.PRNGKey(0),
+                                    dtype=jnp.bfloat16)
+    bf16_tok_s = _decode_tok_s(params_bf16, cfg, n_tokens)
+    del params_bf16
+
+    qparams = _build_quantized_llama(cfg, 0, bits=2)
+    q_tok_s = _decode_tok_s(qparams, cfg, n_tokens)
+
+    ratio = q_tok_s / bf16_tok_s
+    result = {
+        "metric": "decode_speedup_2bit_vs_bf16_llama1b_1chip",
+        "value": round(ratio, 4),
+        "unit": "x (ratio of tok/s; bf16=%.1f, 2bit=%.1f tok/s)" % (
+            bf16_tok_s, q_tok_s),
+        "vs_baseline": round(ratio / REFERENCE_SPEEDUP, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

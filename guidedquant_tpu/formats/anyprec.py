@@ -77,11 +77,12 @@ def save_packed(output_dir: str, cfg: ModelConfig, dense_params,
 
 
 def load_packed(model_dir: str, precision: Optional[int] = None,
-                dtype=jnp.bfloat16):
+                dtype=jnp.bfloat16, kernel_layout: bool = True):
     """-> (cfg, params) with AnyPrecLinear leaves (stacked [L, ...]).
 
     Analog of ``AnyPrecisionForCausalLM.from_quantized``
-    (reference AnyPrecisionForCausalLM.py:101-145).
+    (reference AnyPrecisionForCausalLM.py:101-145). ``kernel_layout`` also
+    precomputes the lane-tiled operand for the fused decode kernel.
     """
     meta = cache_util.load_json(os.path.join(model_dir, "config.json"))
     cfg = ModelConfig.from_json(meta["model_config"])
@@ -96,15 +97,17 @@ def load_packed(model_dir: str, precision: Optional[int] = None,
         "attn_norm": jnp.asarray(z["layers.attn_norm"], dtype),
         "mlp_norm": jnp.asarray(z["layers.mlp_norm"], dtype),
     }
+    from ..nn.linear import with_kernel_layout
     for m in cfg.module_names:
         qw = z[f"layers.{m}.qweight"]
         L, bits, N, Kw = qw.shape
         luts = {b: jnp.asarray(z[f"layers.{m}.lut{b}"], dtype)
                 for b in range(seed_b, parent_b + 1)
                 if f"layers.{m}.lut{b}" in z}
-        layers[m] = AnyPrecLinear(
+        w = AnyPrecLinear(
             qweight=jnp.asarray(qw), luts=luts, bias=None,
             precision=precision, out_features=N, in_features=Kw * 32)
+        layers[m] = with_kernel_layout(w) if kernel_layout else w
     params = {
         "embed": jnp.asarray(z["embed"], dtype),
         "layers": layers,
@@ -115,12 +118,16 @@ def load_packed(model_dir: str, precision: Optional[int] = None,
     return cfg, params
 
 
-def set_model_precision(params, precision: int):
+def set_model_precision(params, precision: int, kernel_layout: bool = True):
     """Switch the active bit-width of every AnyPrecLinear (runtime 2<->8
     switch, reference AnyPrecisionForCausalLM.set_precision)."""
+    from ..nn.linear import with_kernel_layout
+
     def fix(x):
         if isinstance(x, AnyPrecLinear):
-            return x.set_precision(precision)
+            x = x.set_precision(precision)
+            if kernel_layout:
+                x = with_kernel_layout(x)
         return x
     return {**params, "layers": {
         k: fix(v) for k, v in params["layers"].items()}}

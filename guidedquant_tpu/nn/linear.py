@@ -44,6 +44,11 @@ class AnyPrecLinear:
     qweight: jnp.ndarray
     luts: Dict[int, jnp.ndarray]
     bias: Optional[jnp.ndarray] = None
+    # Lane-tiled words + per-row polynomial LUT coefficients for the fused
+    # Pallas decode kernel at the active precision (see ops.lut_kernels);
+    # None -> dequant path.
+    qwords: Optional[jnp.ndarray] = None
+    pcoef: Optional[jnp.ndarray] = None
     precision: int = struct.field(pytree_node=False, default=0)
     out_features: int = struct.field(pytree_node=False, default=0)
     in_features: int = struct.field(pytree_node=False, default=0)
@@ -55,16 +60,58 @@ class AnyPrecLinear:
     def set_precision(self, bits: int) -> "AnyPrecLinear":
         if bits not in self.luts:
             raise ValueError(f"{bits}-bit not available; have {self.supported_bits}")
-        return self.replace(precision=bits)
+        return self.replace(precision=bits, qwords=None, pcoef=None)
+
+
+def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
+    """Precompute the lane-tiled kernel operand for the active precision.
+
+    Host-side (numpy); handles both single [bits, N, K/32] and stacked
+    [L, bits, N, K/32] qweights.
+    """
+    import numpy as np
+    from ..ops.pack import unpack_bitplanes_np
+    from ..ops import lut_kernels
+
+    bits = w.precision
+    if bits not in lut_kernels.KERNEL_BITS:
+        return w
+    qw = np.asarray(w.qweight)
+    stacked = qw.ndim == 4
+    layers = qw if stacked else qw[None]
+    luts = np.asarray(w.luts[bits], np.float32)
+    luts = luts if stacked else luts[None]
+    out, coefs = [], []
+    for lq, lut in zip(layers, luts):
+        codes = unpack_bitplanes_np(lq, bits)
+        codes, _ = lut_kernels.pad_to_tiles(codes, bits)
+        out.append(lut_kernels.pack_lane_tiled(codes, bits))
+        coefs.append(lut_kernels.lut_to_poly(lut, bits))
+    words = np.stack(out) if stacked else out[0]
+    coef = np.stack(coefs) if stacked else coefs[0]
+    return w.replace(qwords=jnp.asarray(words), pcoef=jnp.asarray(coef))
 
 
 def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
                        dtype=jnp.float32) -> jnp.ndarray:
-    """Decode packed codes -> dense [N, K] weight at the given precision."""
+    """Decode packed codes -> dense [N, K] weight at the given precision.
+
+    Gather-free: per-row LUT indexing lowers to serialized scalar gathers on
+    TPU, so low bit-widths use a select sum over the 2^b LUT columns (VPU)
+    and wide LUTs a one-hot batched dot (MXU).
+    """
     bits = bits or w.precision
     codes = unpack_bitplanes(w.qweight, bits)  # [N, K] int32 in [0, 2^bits)
-    lut = w.luts[bits].astype(dtype)  # [N, 2^bits]
-    return jnp.take_along_axis(lut, codes, axis=1)
+    lut = w.luts[bits].astype(dtype)  # [N, C]
+    C = lut.shape[1]
+    if C <= 16:
+        out = jnp.zeros(codes.shape, dtype)
+        for c in range(C):
+            out = out + jnp.where(codes == c, lut[:, c:c + 1],
+                                  jnp.zeros((), dtype))
+        return out
+    onehot = jax.nn.one_hot(codes, C, dtype=dtype)  # [N, K, C]
+    return jnp.einsum("nkc,nc->nk", onehot, lut)
 
 
 def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,14 +122,15 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
-    ntok = 1
-    for s in x.shape[:-1]:
-        ntok *= s
-    if ntok <= 8:
-        # Decode path: fused Pallas LUT-GEMV when available on this backend.
-        from ..ops import lut_gemv
-        y = lut_gemv.anyprec_matmul(x, w.qweight, w.luts[w.precision], w.precision)
+    from ..ops import lut_kernels
+    if (w.qwords is not None and w.pcoef is not None
+            and lut_kernels.supported(x, w.qwords, w.precision)):
+        # Fused Pallas LUT-GEMV (decode path; reference seq==1 kernel branch,
+        # AnyPrecisionLinear.py:69-74).
+        y = lut_kernels.lut_matmul(x, w.qwords, w.pcoef,
+                                   w.precision, w.out_features)
     else:
+        # Prefill / fallback: gather-free dequant + MXU matmul.
         dense = dequantize_anyprec(w, dtype=x.dtype)
         y = jnp.einsum("...k,nk->...n", x, dense)
     if w.bias is not None:

@@ -18,9 +18,23 @@ from .pack import unpack_bitplanes
 
 def anyprec_dequant(qweight: jnp.ndarray, lut: jnp.ndarray, bits: int,
                     dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Decode packed codes to a dense [N, K] weight (prefill path)."""
+    """Decode packed codes to a dense [N, K] weight (prefill path).
+
+    Gather-free (select-sum / one-hot dot) — per-row gathers serialize on
+    TPU; see nn.linear.dequantize_anyprec."""
+    import jax
+
     codes = unpack_bitplanes(qweight, bits)  # [N, K]
-    return jnp.take_along_axis(lut.astype(dtype), codes, axis=1)
+    lut = lut.astype(dtype)
+    C = lut.shape[1]
+    if C <= 16:
+        out = jnp.zeros(codes.shape, dtype)
+        for c in range(C):
+            out = out + jnp.where(codes == c, lut[:, c:c + 1],
+                                  jnp.zeros((), dtype))
+        return out
+    onehot = jax.nn.one_hot(codes, C, dtype=dtype)
+    return jnp.einsum("nkc,nc->nk", onehot, lut)
 
 
 def anyprec_matmul_reference(x: jnp.ndarray, qweight: jnp.ndarray,
@@ -32,9 +46,7 @@ def anyprec_matmul_reference(x: jnp.ndarray, qweight: jnp.ndarray,
 
 def anyprec_matmul(x: jnp.ndarray, qweight: jnp.ndarray, lut: jnp.ndarray,
                    bits: int) -> jnp.ndarray:
-    """Decode-path matmul. Dispatches to the Pallas kernel on TPU when the
-    shapes/bits are supported; otherwise the XLA fallback."""
-    from . import lut_kernels
-    if lut_kernels.supported(x, qweight, bits):
-        return lut_kernels.lut_matmul(x, qweight, lut, bits)
+    """Decode-path matmul on the canonical bit-plane operand (oracle path;
+    the fused Pallas kernel dispatch lives in nn.linear on the lane-tiled
+    operand)."""
     return anyprec_matmul_reference(x, qweight, lut, bits)

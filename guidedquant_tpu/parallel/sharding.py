@@ -1,0 +1,114 @@
+"""Partition-spec rules for params, KV caches, and training steps.
+
+Megatron-style layout expressed as GSPMD annotations (the pattern in
+SNIPPETS.md [1]): q/k/v/gate/up are column-parallel (out-features on 'tp'),
+o/down are row-parallel (in-features on 'tp'), dense remainders are sharded
+on 'fsdp', activations/batch on 'dp'. XLA inserts the all-reduce after
+row-parallel matmuls and the FSDP all-gathers automatically.
+
+Quantized params shard the same way: ``qweight`` [L, bits, N, K/32] and
+``luts`` [L, N, 2^b] both carry the out-features axis N; row-parallel
+modules shard the packed K/32 axis instead (32 codes per int32 word keeps
+any tp-degree dividing K/32 exact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import llama
+from ..models.config import ModelConfig
+from ..nn.linear import AnyPrecLinear
+
+# (out_axis, in_axis) per module for dense [L, out, in] weights.
+_COL = ("tp", "fsdp")   # column-parallel: out on tp
+_ROW = ("fsdp", "tp")   # row-parallel: in on tp
+MODULE_PARTITION = {
+    "q_proj": _COL, "k_proj": _COL, "v_proj": _COL,
+    "gate_proj": _COL, "up_proj": _COL,
+    "o_proj": _ROW, "down_proj": _ROW,
+}
+
+
+def dense_param_specs(cfg: ModelConfig) -> Dict[str, Any]:
+    layers = {
+        "attn_norm": P(None, None),
+        "mlp_norm": P(None, None),
+    }
+    for m, (oa, ia) in MODULE_PARTITION.items():
+        layers[m] = P(None, oa, ia)  # [L, out, in]
+    specs: Dict[str, Any] = {
+        "embed": P("fsdp", None),
+        "layers": layers,
+        "final_norm": P(None),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P("tp", "fsdp")
+    return specs
+
+
+def quantized_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
+    """Specs for a packed model (AnyPrecLinear leaves)."""
+    layers: Dict[str, Any] = {
+        "attn_norm": P(None, None),
+        "mlp_norm": P(None, None),
+    }
+    for m, (oa, ia) in MODULE_PARTITION.items():
+        w: AnyPrecLinear = params["layers"][m]
+        if oa == "tp":  # column parallel: shard N
+            qspec = P(None, None, "tp", None)   # [L, bits, N, K/32]
+            wspec = P(None, "tp", None)         # [L, N, K_pad*bits/32]
+            lspec = {b: P(None, "tp", None) for b in w.luts}
+        else:  # row parallel: shard packed K
+            qspec = P(None, None, None, "tp")
+            wspec = P(None, None, "tp")
+            lspec = {b: P(None, None, None) for b in w.luts}
+        cspec = P(None, "tp", None) if oa == "tp" else P(None, None, None)
+        layers[m] = AnyPrecLinear(
+            qweight=qspec, luts=lspec, bias=None if w.bias is None else P(None),
+            qwords=None if w.qwords is None else wspec,
+            pcoef=None if w.pcoef is None else cspec,
+            precision=w.precision, out_features=w.out_features,
+            in_features=w.in_features)
+    specs: Dict[str, Any] = {
+        "embed": P("fsdp", None),
+        "layers": layers,
+        "final_norm": P(None),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P("tp", "fsdp")
+    return specs
+
+
+def kv_cache_spec() -> P:
+    # [L, B, S_max, KV, Dh]: batch on dp, kv heads on tp
+    return P(None, "dp", None, "tp", None)
+
+
+def to_named(mesh: Mesh, specs):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params, specs):
+    shardings = to_named(mesh, specs)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Reference training step (calibration-style full fwd+bwd) for multi-chip
+# validation; the KD finetune pipeline reuses this skeleton.
+# ---------------------------------------------------------------------------
+
+def train_step(params, cfg: ModelConfig, tokens):
+    """loss + grads of the causal-LM loss (full backward, dp batch)."""
+    def loss_fn(p):
+        logits = llama.forward(p, cfg, tokens)
+        return llama.cross_entropy_loss(logits, tokens)
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return loss, grads

@@ -1,0 +1,107 @@
+"""Fused LUT-GEMV kernel tests.
+
+Layout round-trips run in numpy; kernel execution runs in Pallas interpret
+mode on CPU (real-TPU execution is exercised by bench.py / verify). The
+oracle is the gather-free dequant path — the reference's own test pattern
+(kernel vs dequant+matmul, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guidedquant_tpu.ops import lut_kernels
+from guidedquant_tpu.ops.lut_kernels import (
+    pack_lane_tiled, unpack_lane_tiled_np, pad_to_tiles, tile_k_for,
+    lut_matmul_tiled, lut_to_poly, poly_eval_np)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 8])
+def test_lane_tiled_roundtrip(bits, rng):
+    TK = tile_k_for(bits)
+    N, K = 8, 2 * TK
+    codes = rng.integers(0, 2 ** bits, size=(N, K), dtype=np.uint8)
+    words = pack_lane_tiled(codes, bits)
+    assert words.shape == (N, K * bits // 32)
+    np.testing.assert_array_equal(unpack_lane_tiled_np(words, bits, K), codes)
+
+
+def test_pad_to_tiles(rng):
+    codes = rng.integers(0, 4, size=(4, 100), dtype=np.uint8)
+    padded, K_pad = pad_to_tiles(codes, 2)
+    assert K_pad == tile_k_for(2)
+    assert padded.shape == (4, K_pad)
+    np.testing.assert_array_equal(padded[:, :100], codes)
+    assert (padded[:, 100:] == 0).all()
+
+
+@pytest.mark.parametrize("bits,B", [(1, 1), (2, 1), (2, 4), (4, 1)])
+def test_kernel_matches_dequant_oracle(bits, B, rng):
+    from jax.experimental.pallas import tpu as pltpu
+    TK = tile_k_for(bits)
+    N, K = 256, TK  # one k-tile keeps interpret mode fast
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut = np.sort(rng.normal(size=(N, C)).astype(np.float32), axis=1)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+
+    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    coef = lut_to_poly(lut, bits)
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_tiled(jnp.asarray(x), words, jnp.asarray(coef), bits,
+                             tile_n=128)
+    got = np.asarray(y, np.float32)
+    assert got.shape == (B, N)
+    # bf16 decode + f32 accumulate tolerance
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+
+
+def test_kernel_multi_ktile(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    bits, B = 2, 2
+    TK = tile_k_for(bits)
+    N, K = 128, 2 * TK
+    codes = rng.integers(0, 4, size=(N, K), dtype=np.uint8)
+    lut = rng.normal(size=(N, 4)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    coef = lut_to_poly(lut, bits)
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_tiled(jnp.asarray(x), words, jnp.asarray(coef), bits,
+                             tile_n=128)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+
+
+def test_with_kernel_layout_roundtrip(rng):
+    """with_kernel_layout must produce words that decode to the plane codes."""
+    from guidedquant_tpu.nn.linear import AnyPrecLinear, with_kernel_layout
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 2, 16, 64
+    codes = rng.integers(0, 4, size=(N, K), dtype=np.uint8)
+    q = pack_bitplanes(codes, bits)
+    w = AnyPrecLinear(qweight=jnp.asarray(q),
+                      luts={2: jnp.zeros((N, 4))}, precision=2,
+                      out_features=N, in_features=K)
+    w2 = with_kernel_layout(w)
+    K_pad = tile_k_for(bits)
+    assert w2.qwords.shape == (N, K_pad * bits // 32)
+    back = unpack_lane_tiled_np(np.asarray(w2.qwords), bits, K)
+    np.testing.assert_array_equal(back, codes)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_poly_is_exact_interpolation(bits, rng):
+    """lut_to_poly coefficients must reproduce every LUT entry exactly."""
+    N, C = 32, 2 ** bits
+    lut = rng.normal(size=(N, C)).astype(np.float32)
+    coef = lut_to_poly(lut, bits)
+    codes = np.tile(np.arange(C, dtype=np.uint8)[None], (N, 1))
+    got = poly_eval_np(coef.astype(np.float64), codes, bits)
+    # f32 coefficient storage bounds the error well below bf16 decode noise
+    np.testing.assert_allclose(got, lut, atol=1e-4)
