@@ -56,7 +56,7 @@ def test_matmul_hadU_involution_pow2(rng):
 
 def test_get_hadK_llama_dims():
     for n, expK in [(4096, 1), (11008, 172), (14336, 28), (28672, 28),
-                    (8192, 1), (5120, 20), (13824, 108)]:
+                    (8192, 1), (5120, 40), (13824, 108)]:
         base, K = get_hadK(n)
         assert K == expK, (n, K, expK)
 
