@@ -118,6 +118,9 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W^T for dense or quantized W (W stored as (N, K))."""
     if isinstance(w, AnyPrecLinear):
         return _apply_anyprec(w, x)
+    from .trellis import TrellisLinear, apply_trellis
+    if isinstance(w, TrellisLinear):
+        return apply_trellis(w, x)
     return jnp.einsum("...k,nk->...n", x, w.astype(x.dtype))
 
 

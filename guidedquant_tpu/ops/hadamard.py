@@ -265,6 +265,27 @@ def matmul_hadU(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+def matmul_hadUt(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """x @ H_n^T / sqrt-normalized (inverse of matmul_hadU; H orthonormal).
+
+    Pow2 part is symmetric (butterfly unchanged); the base factor applies
+    transposed.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    base, K = get_hadK(n)
+    shape = x.shape
+    if K == 1:
+        out = fwht(x) / jnp.sqrt(n).astype(x.dtype)
+    else:
+        m = n // K
+        xr = x.reshape(-1, K, m)
+        xr = fwht(xr)
+        out = jnp.einsum("jk,bjm->bkm", jnp.asarray(base, x.dtype), xr)
+        out = (out / jnp.sqrt(m).astype(x.dtype)).reshape(shape)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def random_hadamard_matrix(n: int, key) -> np.ndarray:
     """Randomized orthonormal Hadamard: H' = H diag(s), s ~ ±1
     (reference hadamard_utils.random_hadamard_matrix)."""

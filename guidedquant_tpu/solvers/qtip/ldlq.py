@@ -67,7 +67,7 @@ def ldlq(Wr: np.ndarray, L: np.ndarray, cb, td_x: int = 16, td_y: int = 16,
     """
     m, n = Wr.shape
     assert n % td_y == 0 and m % td_x == 0
-    buf_cols = max(buf_cols, td_y)
+    buf_cols = min(max(buf_cols, td_y), n)
     assert buf_cols % td_y == 0 and n % buf_cols == 0
     buf_size = buf_cols // td_y
     trellissz = td_x * td_y

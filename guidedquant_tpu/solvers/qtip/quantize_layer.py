@@ -1,0 +1,128 @@
+"""QTIP guided per-linear quantization driver.
+
+Analog of the reference's ``quantize_finetune_decoder_layer`` core
+(``qtip/lib/algo/finetune.py:202-345``): per linear —
+
+1. draw random sign vectors SU [n], SV [m] (seeded per layer),
+2. incoherence-process:  Wr = Mm^T diag(SV) W diag(SU) Mn / Wscale,
+   HRr_g = Mn^T diag(SU) H_g diag(SU) Mn  (``preprocess_group``,
+   finetune.py:124-148), with Wscale matching the codebook RMS,
+3. per saliency group g (rows m/g): block-LDL of HRr_g + LDLQ trellis
+   rounding of that row slice,
+4. pack the trellis bitstream and report the proxy error
+   tr(dW HRr dW^T)/tr(W HRr W^T).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...nn.trellis import TrellisLinear, dense_to_tiles, tiles_to_dense
+from ...ops.hadamard import matmul_hadU, matmul_hadUt
+from .codebook import BitshiftCodebook
+from .ldlq import block_LDL, ldlq, regularize_H, proxy_error
+
+logger = logging.getLogger(__name__)
+
+
+def _sandwich_Ut(A: np.ndarray) -> np.ndarray:
+    """Mm^T A Mn (transform both sides with hadUt semantics)."""
+    x = matmul_hadUt(jnp.asarray(A, jnp.float32), axis=0)
+    x = matmul_hadUt(x, axis=1)
+    return np.asarray(x, np.float32)
+
+
+def quantize_linear_qtip(W: np.ndarray, H: np.ndarray, cb: BitshiftCodebook,
+                         td_x: int = 16, td_y: int = 16,
+                         scale_override: float = 0.9,
+                         sigma_reg: float = 0.01,
+                         seed: int = 0) -> Dict:
+    """W [m, n], H [g, n, n] grouped proxy Hessians -> quantized artifacts.
+
+    Returns dict with packed trellis, SU, SV, Wscale, hatWr (transformed
+    domain), proxy_err.
+    """
+    m, n = W.shape
+    g = H.shape[0]
+    assert m % g == 0
+    rng = np.random.default_rng(seed)
+    SU = rng.choice([-1.0, 1.0], size=n).astype(np.float32)
+    SV = rng.choice([-1.0, 1.0], size=m).astype(np.float32)
+
+    C = SV[:, None] * np.asarray(W, np.float32) * SU[None, :]
+    Wr = _sandwich_Ut(C)
+    lut_rms = float(np.sqrt(np.mean(np.asarray(cb.lut, np.float64) ** 2)))
+    Wscale = float(np.sqrt(np.mean(Wr.astype(np.float64) ** 2))) / (
+        lut_rms * scale_override)
+    Wr = Wr / Wscale
+
+    HRr = np.zeros_like(H, dtype=np.float32)
+    for i in range(g):
+        Hi = regularize_H(H[i], sigma_reg)
+        HRr[i] = _sandwich_Ut(SU[:, None] * Hi * SU[None, :])
+
+    rows_per_g = m // g
+    hatWr = np.zeros((m, n), np.float32)
+    Qidxs = np.zeros((m, n // cb.V), np.int32)
+    for i in range(g):
+        out = block_LDL(HRr[i], td_y)
+        if out is None:
+            # extra damping fallback
+            out = block_LDL(regularize_H(HRr[i], 0.1), td_y)
+            assert out is not None, "HRr not PD even after damping"
+        L, _ = out
+        L[np.diag_indices(n)] = 0.0
+        sl = slice(i * rows_per_g, (i + 1) * rows_per_g)
+        hatWr[sl], Qidxs[sl] = ldlq(Wr[sl], L, cb, td_x=td_x, td_y=td_y)
+
+    err = _grouped_proxy_error(Wr, hatWr, HRr, g)
+    logger.info("qtip: proxy err %.6f (m=%d n=%d g=%d)", err, m, n, g)
+
+    # pack per td_x x td_y tile (row-major within tile)
+    T = td_x * td_y
+    state_tiles = Qidxs.reshape(m // td_x, td_x, n // td_y, td_y // cb.V)
+    state_tiles = state_tiles.transpose(0, 2, 1, 3).reshape(-1, T // cb.V)
+    packed = cb.pack_trellis(state_tiles)
+
+    return {
+        "trellis": packed, "SU": SU, "SV": SV,
+        "Wscale": np.float32(Wscale), "hatWr": hatWr, "proxy_err": err,
+    }
+
+
+def _grouped_proxy_error(Wr, hatWr, HRr, g):
+    m = Wr.shape[0]
+    rows = m // g
+    num = den = 0.0
+    for i in range(g):
+        sl = slice(i * rows, (i + 1) * rows)
+        d = (hatWr[sl] - Wr[sl]).astype(np.float64)
+        w = Wr[sl].astype(np.float64)
+        num += float(np.einsum("ij,jk,ik->", d, HRr[i], d))
+        den += float(np.einsum("ij,jk,ik->", w, HRr[i], w))
+    return num / max(den, 1e-30)
+
+
+def build_trellis_linear(artifacts: Dict, cb: BitshiftCodebook, m: int, n: int,
+                         td_x: int = 16, td_y: int = 16,
+                         cache_dense: bool = True) -> TrellisLinear:
+    """Artifacts -> runtime TrellisLinear (with load-time dense decode)."""
+    from ..qtip.codebook import BitshiftCodebook  # noqa
+    from ...nn.trellis import decode_trellis_dense
+
+    hatW = None
+    if cache_dense:
+        hatW = jnp.asarray(decode_trellis_dense(
+            cb, artifacts["trellis"], m, n, td_x, td_y), jnp.float32)
+    return TrellisLinear(
+        trellis=jnp.asarray(artifacts["trellis"].view(np.int16)),
+        SU=jnp.asarray(artifacts["SU"]), SV=jnp.asarray(artifacts["SV"]),
+        Wscale=jnp.asarray(artifacts["Wscale"]),
+        hatW=hatW,
+        L_bits=cb.L, K=cb.K, V=cb.V, tlut_bits=cb.tlut_bits,
+        decode_mode=cb.decode_mode, td_x=td_x, td_y=td_y,
+        out_features=m, in_features=n)
