@@ -121,6 +121,9 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
     from .trellis import TrellisLinear, apply_trellis
     if isinstance(w, TrellisLinear):
         return apply_trellis(w, x)
+    from .act_quant import ActQuantLinear, apply_act_quant_linear
+    if isinstance(w, ActQuantLinear):
+        return apply_act_quant_linear(w, x)
     return jnp.einsum("...k,nk->...n", x, w.astype(x.dtype))
 
 
