@@ -27,18 +27,46 @@ from ..models.config import ModelConfig
 
 @struct.dataclass
 class DecodeState:
-    k: jnp.ndarray  # [L, B, S_max, KV, Dh]
+    """KV cache + position. kv_bits < 16 stores int8 codes with per
+    (position, head) symmetric scales (quantized KV cache; the reference's
+    KV4 path is SpinQuant's K/V fake quant, rotation_utils.py:150-229 —
+    here it is a real integer cache). ``r3`` applies the online per-head
+    Hadamard to q and k before caching (exact, improves K quantizability).
+    """
+
+    k: jnp.ndarray  # [L, B, S_max, KV, Dh] (dtype or int8)
     v: jnp.ndarray  # [L, B, S_max, KV, Dh]
     pos: jnp.ndarray  # [] int32 — number of tokens already in cache
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, KV, 1] f32
+    v_scale: Optional[jnp.ndarray] = None
+    kv_bits: int = struct.field(pytree_node=False, default=16)
+    r3: bool = struct.field(pytree_node=False, default=False)
 
 
 def init_state(cfg: ModelConfig, num_layers: int, batch: int, max_seq: int,
-               dtype=jnp.bfloat16, sharding=None) -> DecodeState:
+               dtype=jnp.bfloat16, sharding=None, kv_bits: int = 16,
+               r3: bool = False) -> DecodeState:
     shape = (num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
-    z = jnp.zeros(shape, dtype)
+    if kv_bits < 16:
+        z = jnp.zeros(shape, jnp.int8)
+        s = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+    else:
+        z = jnp.zeros(shape, dtype)
+        s = None
     if sharding is not None:
         z = jax.device_put(z, sharding)
-    return DecodeState(k=z, v=jnp.copy(z), pos=jnp.array(0, jnp.int32))
+    return DecodeState(k=z, v=jnp.copy(z), pos=jnp.array(0, jnp.int32),
+                       k_scale=s, v_scale=None if s is None else jnp.copy(s),
+                       kv_bits=kv_bits, r3=r3)
+
+
+def _kv_quant(x: jnp.ndarray, bits: int):
+    """x [B, S, KV, Dh] -> (int8 codes, scale [B, S, KV, 1])."""
+    maxq = 2 ** (bits - 1) - 1
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / maxq
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -maxq - 1, maxq)
+    return q.astype(jnp.int8), scale
 
 
 def _attend(cfg: ModelConfig, q, k_all, v_all, t_mask):
@@ -55,35 +83,69 @@ def _attend(cfg: ModelConfig, q, k_all, v_all, t_mask):
     return ctx.reshape(B, S, H * Dh)
 
 
-def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask):
+def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
+                kv_bits: int = 16, r3: bool = False):
     """One decoder layer with cache write at ``write_pos`` (length-S block).
 
-    kv_l: (k_cache [B, S_max, KV, Dh], v_cache). Returns (out, new_kv_l).
+    kv_l: (k_cache [B, S_max, KV, Dh], v_cache[, k_scale, v_scale]).
+    Returns (out, new_kv_l).
     """
     from ..nn.linear import apply_linear
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = apply_linear(lp["q_proj"], h).reshape(B, S, H, Dh)
-    k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
-    v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
+    if "qkv_proj" in lp:  # fused QKV (reference inference/model.py:175-181)
+        qkv = apply_linear(lp["qkv_proj"], h)
+        q = qkv[..., :cfg.q_dim].reshape(B, S, H, Dh)
+        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim].reshape(B, S, KV, Dh)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, S, KV, Dh)
+    else:
+        q = apply_linear(lp["q_proj"], h).reshape(B, S, H, Dh)
+        k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
+        v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
 
-    k_cache, v_cache = kv_l
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0))
+    if r3:
+        # per-head Hadamard on q and k (scores invariant; flattens K for
+        # cache quantization — the reference's QKRotationWrapper)
+        from ..ops.hadamard import matmul_hadU
+        q = matmul_hadU(q.astype(jnp.float32)).astype(q.dtype)
+        k = matmul_hadU(k.astype(jnp.float32)).astype(k.dtype)
 
-    ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
+    if kv_bits < 16:
+        k_cache, v_cache, k_scale, v_scale = kv_l
+        kq, ks = _kv_quant(k, kv_bits)
+        vq, vs = _kv_quant(v, kv_bits)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_pos, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, write_pos, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, write_pos, 0, 0))
+        k_all = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
+        v_all = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
+        new_kv = (k_cache, v_cache, k_scale, v_scale)
+    else:
+        k_cache, v_cache = kv_l[:2]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0))
+        k_all, v_all = k_cache, v_cache
+        new_kv = (k_cache, v_cache)
+
+    ctx = _attend(cfg, q, k_all, v_all, t_mask)
     x = x + apply_linear(lp["o_proj"], ctx)
     h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    g = apply_linear(lp["gate_proj"], h)
-    u = apply_linear(lp["up_proj"], h)
+    if "gate_up_proj" in lp:  # fused Up/Gate (reference model.py:248-266)
+        gu = apply_linear(lp["gate_up_proj"], h)
+        f = cfg.intermediate_size
+        g, u = gu[..., :f], gu[..., f:]
+    else:
+        g = apply_linear(lp["gate_proj"], h)
+        u = apply_linear(lp["up_proj"], h)
     x = x + apply_linear(lp["down_proj"], jax.nn.silu(g) * u)
-    return x, (k_cache, v_cache)
+    return x, new_kv
 
 
 def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
@@ -92,24 +154,32 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
     B, S = tokens.shape
     S_max = state.k.shape[2]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, tokens).astype(state.k.dtype)
+    compute_dtype = state.k.dtype if state.kv_bits >= 16 else jnp.bfloat16
+    x = llama.embed_tokens(params, tokens).astype(compute_dtype)
 
     # additive mask over cache timeline: query i (global pos p_i) sees t <= p_i
     t_ids = jnp.arange(S_max)[None, :]
     t_mask = jnp.where(t_ids <= positions[0][:, None], 0.0, -1e30)  # [S, T]
 
+    quant = state.kv_bits < 16
+
     def body(carry, xs):
         x = carry
-        lp, k_l, v_l = xs
-        x, (k_l, v_l) = _layer_step(lp, cfg, x, cos, sin, (k_l, v_l),
-                                    state.pos, t_mask)
-        return x, (k_l, v_l)
+        lp, kv_l = xs[0], xs[1:]
+        x, new_kv = _layer_step(lp, cfg, x, cos, sin, kv_l, state.pos,
+                                t_mask, kv_bits=state.kv_bits, r3=state.r3)
+        return x, new_kv
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], state.k, state.v))
+    xs = (params["layers"], state.k, state.v)
+    if quant:
+        xs = xs + (state.k_scale, state.v_scale)
+    x, new_kv = jax.lax.scan(body, x, xs)
     logits = llama.unembed(params, cfg, x)
-    new_state = DecodeState(k=k_new, v=v_new,
-                            pos=state.pos + jnp.int32(S))
+    new_state = DecodeState(
+        k=new_kv[0], v=new_kv[1], pos=state.pos + jnp.int32(S),
+        k_scale=new_kv[2] if quant else None,
+        v_scale=new_kv[3] if quant else None,
+        kv_bits=state.kv_bits, r3=state.r3)
     return logits, new_state
 
 
@@ -174,7 +244,8 @@ def decode_n_tokens(params, cfg: ModelConfig, token: jnp.ndarray,
 def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              max_new_tokens: int, max_seq: Optional[int] = None,
              temperature: float = 0.0, top_k: Optional[int] = None,
-             kv_dtype=jnp.bfloat16, seed: int = 0,
+             kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
+             seed: int = 0,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Host-driven generate loop with gpt-fast-style metrics
     (tok/s; reference generate.py:145-186, 374-381)."""
@@ -182,7 +253,8 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     B, S = prompt.shape
     L = cfg.num_layers
     max_seq = max_seq or min(cfg.max_seq_len, S + max_new_tokens)
-    state = init_state(cfg, L, B, max_seq, dtype=kv_dtype)
+    state = init_state(cfg, L, B, max_seq, dtype=kv_dtype, kv_bits=kv_bits,
+                       r3=r3)
     key = jax.random.PRNGKey(seed)
 
     t0 = time.perf_counter()
