@@ -1,0 +1,71 @@
+"""full_nuq KD finetune tests: STE gradients, KL descent, repack validity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guidedquant_tpu.models import llama, get_config
+from guidedquant_tpu.pipelines import any_precision_quantize
+from guidedquant_tpu.pipelines.finetune_e2e import (
+    ste_snap, snap_codes, full_nuq_finetune, repack_student,
+    kl_divergence_loss)
+from guidedquant_tpu.formats.anyprec import load_packed
+from guidedquant_tpu.evaluate import evaluate_ppl
+
+
+def test_ste_snap_forward_and_grads():
+    lut = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
+    latent = jnp.asarray([[0.1, 2.6, 1.4]])
+    out = ste_snap(latent, lut)
+    np.testing.assert_allclose(np.asarray(out), [[0.0, 3.0, 1.0]])
+
+    def loss(lat, l):
+        return jnp.sum(ste_snap(lat, l) * jnp.asarray([[1.0, 2.0, 3.0]]))
+    glat, glut = jax.grad(loss, argnums=(0, 1))(latent, lut)
+    np.testing.assert_allclose(np.asarray(glat), [[1.0, 2.0, 3.0]])
+    # lut grads accumulate per assigned code
+    np.testing.assert_allclose(np.asarray(glut), [[1.0, 3.0, 0.0, 2.0]])
+
+
+def test_kl_zero_for_identical():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 16)))
+    assert float(kl_divergence_loss(logits, logits)) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def packed_setup(tmp_path_factory):
+    cfg = get_config("tiny").replace(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 96, size=(6, 32), dtype=np.int32)
+    packed = any_precision_quantize(
+        "tinyft", cfg=cfg, params=params, seed_precision=2,
+        parent_precision=2,
+        cache_dir=str(tmp_path_factory.mktemp("c")),
+        dataset="synthetic", seq_len=32, num_examples=6, tokens=tokens)
+    qcfg, qparams = load_packed(packed, dtype=jnp.float32,
+                                kernel_layout=False)
+    return cfg, params, qcfg, qparams, tokens
+
+
+def test_full_nuq_kd_descends_and_repacks(packed_setup):
+    cfg, teacher, qcfg, qparams, tokens = packed_setup
+    codes, luts, hist = full_nuq_finetune(
+        qparams, qcfg, teacher, tokens, bits=2, steps=30, lr=3e-3)
+    q = max(len(hist) // 4, 1)
+    assert np.mean(hist[-q:]) < np.mean(hist[:q]), (hist[:3], hist[-3:])
+
+    ft_params = repack_student(qparams, qcfg, codes, luts, bits=2)
+    stream = np.random.default_rng(1).integers(0, 96, size=(384,),
+                                               dtype=np.int32)
+    ppl_before = evaluate_ppl(qparams, qcfg, stream, ctx_len=48,
+                              verbose=False)
+    ppl_after = evaluate_ppl(ft_params, qcfg, stream, ctx_len=48,
+                             verbose=False)
+    assert np.isfinite(ppl_after)
+    # KD on the calibration distribution shouldn't blow up held-out ppl
+    assert ppl_after < ppl_before * 1.5
