@@ -1,0 +1,86 @@
+"""High-level model API: the ``AnyPrecisionForCausalLM`` analog.
+
+Mirrors the reference's HF-style runtime surface
+(``any_precision/modules/AnyPrecisionForCausalLM.py:101-175``):
+``from_quantized`` loads a packed dir, ``set_precision`` switches bit-width
+at runtime, ``generate`` runs the jitted engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class QuantizedCausalLM:
+    def __init__(self, cfg, params, backend: str = "anyprec"):
+        self.cfg = cfg
+        self.params = params
+        self.backend = backend
+        self._fused = None
+
+    # -- loading -----------------------------------------------------------
+
+    @classmethod
+    def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
+                       dtype=jnp.bfloat16, fuse: bool = True):
+        import os
+        from ..utils.cache import load_json
+        meta = load_json(os.path.join(model_dir, "config.json"))
+        if "quip_params" in meta:
+            from ..formats import qtip_format
+            cfg, params = qtip_format.load_packed(model_dir, dtype=dtype)
+            backend = "qtip"
+        else:
+            from ..formats.anyprec import load_packed
+            cfg, params = load_packed(model_dir, precision=precision,
+                                      dtype=dtype)
+            backend = "anyprec"
+        obj = cls(cfg, params, backend)
+        if fuse:
+            obj.fuse()
+        return obj
+
+    def fuse(self):
+        from .fuse import fusable, fuse_projections
+        if self._fused is None and fusable(self.params):
+            self._fused = fuse_projections(self.params)
+        return self
+
+    # -- runtime precision switch (anyprec only) ---------------------------
+
+    @property
+    def precision(self) -> Optional[int]:
+        if self.backend != "anyprec":
+            return None
+        return self.params["layers"]["q_proj"].precision
+
+    def set_precision(self, bits: int):
+        assert self.backend == "anyprec"
+        from ..formats.anyprec import set_model_precision
+        self.params = set_model_precision(self.params, bits)
+        self._fused = None
+        self.fuse()
+        return self
+
+    # -- inference ---------------------------------------------------------
+
+    def generate(self, prompt_ids: np.ndarray, max_new_tokens: int = 100,
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 kv_bits: int = 16, r3: bool = False, seed: int = 0):
+        from . import engine
+        params = self._fused if self._fused is not None else self.params
+        return engine.generate(params, self.cfg, prompt_ids, max_new_tokens,
+                               temperature=temperature, top_k=top_k,
+                               kv_bits=kv_bits, r3=r3, seed=seed)
+
+    def forward(self, tokens: np.ndarray):
+        from ..models import llama
+        return llama.forward(self.params, self.cfg, jnp.asarray(tokens))
+
+    def evaluate_ppl(self, token_stream, ctx_len: int = 2048, **kw):
+        from ..evaluate import evaluate_ppl
+        return evaluate_ppl(self.params, self.cfg, token_stream,
+                            ctx_len=ctx_len, **kw)
