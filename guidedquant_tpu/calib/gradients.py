@@ -69,7 +69,7 @@ def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
                   num_groups: int = 1, batch_size: int = 1,
-                  compute_saliency: bool = True,
+                  compute_saliency: bool = True, mesh=None,
                   ) -> Tuple[List[Dict[str, np.ndarray]],
                              Optional[List[Dict[str, np.ndarray]]]]:
     """Full calibration sweep (reference get_gradients driver loop,
@@ -78,14 +78,33 @@ def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
     tokens: [N, S] int array. Returns:
       gradients: per-layer list of {module: [out, in]} accumulated grad^2
       saliency:  per-layer list of {module: [N, S, G]} (None if disabled)
+
+    ``mesh``: optional jax Mesh — shards the sequence batch over 'dp' and
+    parameters per the dense partition rules (the TPU-native replacement for
+    the reference's splitted_models pipeline parallelism,
+    splitted_models/llama.py:8-129).
     """
     N, S = tokens.shape
     L = cfg.num_layers
     acc_gsq = None
     sal_chunks: List[Dict[str, np.ndarray]] = []
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import sharding as shard_mod
+        specs = shard_mod.dense_param_specs(cfg)
+        params = shard_mod.shard_params(mesh, params, specs)
+        dp = mesh.devices.shape[0]
+        assert batch_size % dp == 0 or batch_size == 1, \
+            f"batch_size {batch_size} must be a multiple of dp={dp}"
+        tok_sharding = NamedSharding(mesh, P("dp", None))
+    else:
+        tok_sharding = None
+
     for start in range(0, N, batch_size):
         batch = jnp.asarray(tokens[start:start + batch_size])
+        if tok_sharding is not None and batch.shape[0] > 1:
+            batch = jax.device_put(batch, tok_sharding)
         gsq, sal = gradient_step(params, cfg, batch, num_groups)
         if acc_gsq is None:
             acc_gsq = gsq
