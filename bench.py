@@ -22,28 +22,37 @@ import numpy as np
 REFERENCE_SPEEDUP = 130.0 / 43.0  # BASELINE.md RTX 3090 numbers
 
 
-def _decode_tok_s(params, cfg, n_tokens=64, batch=1, max_seq=256):
+def _decode_tok_s(params, cfg, n_tokens=64, batch=1, max_seq=640):
     """Steady-state decode throughput via the on-device decode loop.
 
-    NOTE: timing forces a host value fetch — block_until_ready alone is
-    unreliable through the axon tunnel (see .claude/skills/verify/SKILL.md).
+    Timing notes (axon tunnel): block_until_ready alone is unreliable, and
+    every jit call carries ~30 ms of fixed dispatch overhead — so we force a
+    host value fetch and compute the per-token time from the SLOPE between a
+    short and a long decode run (overhead cancels).
     """
     import jax
     import jax.numpy as jnp
     from guidedquant_tpu.serve import engine
 
-    state = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
-    tok = jnp.zeros((batch,), jnp.int32)
-
-    # warmup / compile
-    toks, tok, state = engine.decode_n_tokens(params, cfg, tok, state, n_tokens)
-    _ = np.asarray(tok)
-
-    t0 = time.perf_counter()
-    toks, tok, state = engine.decode_n_tokens(params, cfg, tok, state, n_tokens)
-    _ = np.asarray(tok)  # full sync
-    dt = time.perf_counter() - t0
-    return n_tokens * batch / dt
+    n1, n2 = n_tokens, n_tokens * 3
+    times = {}
+    for n in (n1, n2):
+        state = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
+        tok = jnp.zeros((batch,), jnp.int32)
+        # warmup / compile
+        _, tok2, state = engine.decode_n_tokens(params, cfg, tok, state, n)
+        _ = np.asarray(tok2)
+        best = float("inf")
+        for _rep in range(2):
+            state2 = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
+            t0 = time.perf_counter()
+            _, tok2, state2 = engine.decode_n_tokens(params, cfg, tok,
+                                                     state2, n)
+            _ = np.asarray(tok2)  # full sync
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    step = (times[n2] - times[n1]) / (n2 - n1)
+    return batch / step
 
 
 def main():
@@ -59,12 +68,14 @@ def main():
 
     n_tokens = 32 if quick else 128
 
+    from guidedquant_tpu.serve.fuse import fuse_projections
+
     params_bf16 = llama.init_params(cfg, jax.random.PRNGKey(0),
                                     dtype=jnp.bfloat16)
-    bf16_tok_s = _decode_tok_s(params_bf16, cfg, n_tokens)
+    bf16_tok_s = _decode_tok_s(fuse_projections(params_bf16), cfg, n_tokens)
     del params_bf16
 
-    qparams = _build_quantized_llama(cfg, 0, bits=2)
+    qparams = fuse_projections(_build_quantized_llama(cfg, 0, bits=2))
     q_tok_s = _decode_tok_s(qparams, cfg, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s

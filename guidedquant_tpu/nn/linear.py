@@ -49,6 +49,11 @@ class AnyPrecLinear:
     # None -> dequant path.
     qwords: Optional[jnp.ndarray] = None
     pcoef: Optional[jnp.ndarray] = None
+    # Shared-shape fast-kernel operands (set when the LUTs lie in the
+    # row-tile-shared-shape family; see ops.lut_kernels.lut_matmul_shared)
+    gpoly: Optional[jnp.ndarray] = None
+    srow: Optional[jnp.ndarray] = None
+    mrow: Optional[jnp.ndarray] = None
     precision: int = struct.field(pytree_node=False, default=0)
     out_features: int = struct.field(pytree_node=False, default=0)
     in_features: int = struct.field(pytree_node=False, default=0)
@@ -60,7 +65,8 @@ class AnyPrecLinear:
     def set_precision(self, bits: int) -> "AnyPrecLinear":
         if bits not in self.luts:
             raise ValueError(f"{bits}-bit not available; have {self.supported_bits}")
-        return self.replace(precision=bits, qwords=None, pcoef=None)
+        return self.replace(precision=bits, qwords=None, pcoef=None,
+                            gpoly=None, srow=None, mrow=None)
 
 
 def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
@@ -89,7 +95,31 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
         coefs.append(lut_kernels.lut_to_poly(lut, bits))
     words = np.stack(out) if stacked else out[0]
     coef = np.stack(coefs) if stacked else coefs[0]
-    return w.replace(qwords=jnp.asarray(words), pcoef=jnp.asarray(coef))
+    w = w.replace(qwords=jnp.asarray(words), pcoef=jnp.asarray(coef))
+
+    # Shared-shape fast path: only when the codebooks genuinely lie in the
+    # family (e.g. LNQ solved with shared_shape_tile), so it stays exact.
+    if bits <= 2:
+        tile = 512 if luts.shape[1] % 512 == 0 else (
+            128 if luts.shape[1] % 128 == 0 else None)
+        if tile is not None:
+            gs, ss, ms = [], [], []
+            ok = True
+            for lut in luts:
+                g, sr, mr, relerr = lut_kernels.fit_shared_shape(lut, tile)
+                if relerr > 1e-4:
+                    ok = False
+                    break
+                gs.append(lut_kernels.shape_to_poly(g, bits))
+                ss.append(sr)
+                ms.append(mr)
+            if ok:
+                gp = np.stack(gs) if stacked else gs[0]
+                sr = np.stack(ss) if stacked else ss[0]
+                mr = np.stack(ms) if stacked else ms[0]
+                w = w.replace(gpoly=jnp.asarray(gp), srow=jnp.asarray(sr),
+                              mrow=jnp.asarray(mr))
+    return w
 
 
 def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
@@ -129,7 +159,12 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
     from ..ops import lut_kernels
-    if (w.qwords is not None and w.pcoef is not None
+    if (w.qwords is not None and w.gpoly is not None
+            and lut_kernels.supported(x, w.qwords, w.precision)):
+        # Fast shared-shape kernel (scalar-coefficient decode)
+        y = lut_kernels.lut_matmul_flex(x, w.qwords, w.gpoly, w.srow, w.mrow,
+                                        w.precision, w.out_features)
+    elif (w.qwords is not None and w.pcoef is not None
             and lut_kernels.supported(x, w.qwords, w.precision)):
         # Fused Pallas LUT-GEMV (decode path; reference seq==1 kernel branch,
         # AnyPrecisionLinear.py:69-74).

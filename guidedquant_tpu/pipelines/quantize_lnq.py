@@ -57,7 +57,7 @@ def run_hessians_stage(params, cfg: ModelConfig, tokens, saliency_path: str,
 def run_lnq_stage(params, cfg: ModelConfig, init_path: str, hessians_path: str,
                   quantized_path: str, seed_precision: int,
                   num_iterations: int, cd_cycles: int,
-                  sub_qlayer=None):
+                  sub_qlayer=None, shared_shape_tile=None):
     todo, done = cache_util.done_layers(
         os.path.join(quantized_path, "weights"), cfg.num_layers)
     if sub_qlayer:
@@ -84,7 +84,7 @@ def run_lnq_stage(params, cfg: ModelConfig, init_path: str, hessians_path: str,
             H = hess[m]  # [G, K, K]
             lab, C, log = train_least_squares(
                 W, lab0, C0, H, num_iterations=num_iterations,
-                cd_cycles=cd_cycles)
+                cd_cycles=cd_cycles, shared_shape_tile=shared_shape_tile)
             labels_out[m] = lab.reshape(N, 1, K)
             luts_out[m] = C.reshape(N, 1, ncl).astype(np.float16)
             logs[m] = log
@@ -116,6 +116,7 @@ def layerwise_nuq(
         cd_cycles: int = 4,
         sub_qlayer=None,
         is_nosal: bool = False,
+        shared_shape_tile=None,
         tokenizer=None, texts: Optional[Sequence[str]] = None,
         tokens: Optional[np.ndarray] = None,
         hessian_batch_size: int = 4,
@@ -132,6 +133,7 @@ def layerwise_nuq(
     gradients_path = f"{cache_dir}/gradients/{key}.npz"
     saliency_path = f"{cache_dir}/saliency/{key}_g{num_groups}"
     nosal = "_nosal" if is_nosal else ""
+    ss = f"_ss{shared_shape_tile}" if shared_shape_tile else ""
     hessians_path = f"{cache_dir}/hessians/{key}_g{num_groups}{nosal}"
     init_path = (f"{cache_dir}/quantized/"
                  f"{model_name}-w{seed_precision}_orig{seed_precision}"
@@ -139,11 +141,11 @@ def layerwise_nuq(
     quantized_path = (f"{cache_dir}/layerwise_quantized/"
                       f"{model_name}-w{seed_precision}-{dataset}"
                       f"_s{num_examples}_blk{seq_len}_g{num_groups}"
-                      f"_iter{num_iterations}_cd{cd_cycles}{nosal}")
+                      f"_iter{num_iterations}_cd{cd_cycles}{nosal}{ss}")
     packed_path = (f"{cache_dir}/layerwise_packed/"
                    f"layerwise-{model_name}-w{seed_precision}-{dataset}"
                    f"_s{num_examples}_blk{seq_len}_g{num_groups}"
-                   f"_iter{num_iterations}_cd{cd_cycles}{nosal}")
+                   f"_iter{num_iterations}_cd{cd_cycles}{nosal}{ss}")
 
     if tokens is None:
         tokens = data_util.get_tokens(dataset, "train", tokenizer, seq_len,
@@ -165,7 +167,8 @@ def layerwise_nuq(
     run_seed_stage(params, cfg, grads, init_path, seed_precision,
                    seed_precision)
     run_lnq_stage(params, cfg, init_path, hessians_path, quantized_path,
-                  seed_precision, num_iterations, cd_cycles, sub_qlayer)
+                  seed_precision, num_iterations, cd_cycles, sub_qlayer,
+                  shared_shape_tile=shared_shape_tile)
     if mode == "quantize":
         return quantized_path
 

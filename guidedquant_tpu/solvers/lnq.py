@@ -213,17 +213,44 @@ def update_C(W: np.ndarray, H: np.ndarray, labels: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Shared-shape codebook restriction (TPU fast-kernel family)
+# ---------------------------------------------------------------------------
+
+def restrict_shared_shape(C: np.ndarray, rows_per_tile: int = 512):
+    """Snap per-row codebooks onto the row-tile-shared-shape family
+    C_n = m_n + s_n * g_tile (the family the fast shared-shape decode
+    kernel evaluates with scalar coefficients; ops/lut_kernels.py).
+
+    Returns (snapped C, fit dict). Run one more update_P afterwards so the
+    assignments adapt to the snapped centroids.
+    """
+    from ..ops.lut_kernels import fit_shared_shape
+    N = C.shape[0]
+    rows_per_tile = min(rows_per_tile, N)
+    g, s, m, relerr = fit_shared_shape(C, rows_per_tile)
+    snapped = (m[:, None] + s[:, None] *
+               np.repeat(g, rows_per_tile, axis=0)).astype(np.float32)
+    return snapped, {"g": g, "s": s, "m": m, "relerr": relerr,
+                     "rows_per_tile": rows_per_tile}
+
+
+# ---------------------------------------------------------------------------
 # Outer loop (train_least_squares :210-292)
 # ---------------------------------------------------------------------------
 
 def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
                         init_C: np.ndarray, H: np.ndarray,
                         num_iterations: int = 3, cd_cycles: int = 4,
+                        shared_shape_tile: Optional[int] = None,
                         ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Alternating minimization with damping + early stop.
 
     W [N, D], init_labels [N, D], init_C [N, ncl], H [G, D, D].
     Returns (labels, C, log_dict).
+
+    ``shared_shape_tile``: if set, the final codebook is snapped to the
+    row-tile-shared-shape family (fast TPU decode kernel) and the
+    assignments re-optimized once against the snapped centroids.
     """
     N, D = W.shape
     ncl = init_C.shape[1]
@@ -269,4 +296,16 @@ def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
             labels, C = best_labels, best_C
             break
 
-    return np.asarray(best_labels, np.uint8), best_C, log
+    labels, C = best_labels, best_C
+    if shared_shape_tile:
+        C, fit = restrict_shared_shape(C, shared_shape_tile)
+        labels = np.asarray(update_P(Wj, Hjj, jnp.asarray(labels.astype(np.int32)),
+                                     jnp.asarray(C), cd_cycles))
+        o = obj(labels, C)
+        log["objective"].append(o)
+        log["iteration"].append(num_iterations + 1)
+        log["shared_shape_relerr"] = [fit["relerr"]]
+        logger.info("LNQ shared-shape snap (fit relerr %.4f): objective %.6f",
+                    fit["relerr"], o)
+
+    return np.asarray(labels, np.uint8), C, log
