@@ -34,24 +34,30 @@ def _decode_tok_s(params, cfg, n_tokens=64, batch=1, max_seq=640):
     import jax.numpy as jnp
     from guidedquant_tpu.serve import engine
 
-    n1, n2 = n_tokens, n_tokens * 3
-    times = {}
-    for n in (n1, n2):
-        state = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
-        tok = jnp.zeros((batch,), jnp.int32)
-        # warmup / compile
-        _, tok2, state = engine.decode_n_tokens(params, cfg, tok, state, n)
-        _ = np.asarray(tok2)
-        best = float("inf")
-        for _rep in range(2):
-            state2 = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
-            t0 = time.perf_counter()
-            _, tok2, state2 = engine.decode_n_tokens(params, cfg, tok,
-                                                     state2, n)
-            _ = np.asarray(tok2)  # full sync
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-    step = (times[n2] - times[n1]) / (n2 - n1)
+    # fixed per-call dispatch overhead (measured with a null jit call)
+    null = jax.jit(lambda a: a + 1)
+    z = jnp.zeros((8, 128))
+    _ = np.asarray(null(z))
+    overhead = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(null(z))
+        overhead = min(overhead, time.perf_counter() - t0)
+
+    state = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
+    tok = jnp.zeros((batch,), jnp.int32)
+    # warmup / compile
+    _, tok2, _st = engine.decode_n_tokens(params, cfg, tok, state, n_tokens)
+    _ = np.asarray(tok2)
+    best = float("inf")
+    for _rep in range(3):
+        state2 = engine.init_state(cfg, cfg.num_layers, batch, max_seq)
+        t0 = time.perf_counter()
+        _, tok2, state2 = engine.decode_n_tokens(params, cfg, tok, state2,
+                                                 n_tokens)
+        _ = np.asarray(tok2)  # full sync
+        best = min(best, time.perf_counter() - t0)
+    step = max(best - overhead, 1e-9) / n_tokens
     return batch / step
 
 
@@ -66,7 +72,7 @@ def main():
     if quick:
         cfg = cfg.replace(num_layers=4)
 
-    n_tokens = 32 if quick else 128
+    n_tokens = 32 if quick else 96
 
     from guidedquant_tpu.serve.fuse import fuse_projections
 

@@ -249,40 +249,35 @@ def lut_matmul_tiled(x: jnp.ndarray, words: jnp.ndarray, coef: jnp.ndarray,
 
 def fit_shared_shape(lut: np.ndarray, rows_per_tile: int):
     """Fit lut [N, C] ~= m[:, None] + s[:, None] * g[tile] via alternating
-    least squares per row tile. Returns (g [T, C], s [N], m [N], relerr)."""
+    least squares per row tile (vectorized over tiles).
+    Returns (g [T, C], s [N], m [N], relerr)."""
     lut = np.asarray(lut, np.float64)
     N, C = lut.shape
     assert N % rows_per_tile == 0
     T = N // rows_per_tile
-    g_out = np.zeros((T, C))
-    s_out = np.zeros(N)
-    m_out = np.zeros(N)
-    for t in range(T):
-        rows = lut[t * rows_per_tile:(t + 1) * rows_per_tile]
-        m = rows.mean(axis=1)
-        ctr = rows - m[:, None]
-        # init shape: dominant direction of centered rows
-        g = ctr.mean(axis=0)
-        if np.abs(g).max() < 1e-12:
-            g = np.arange(C) - (C - 1) / 2
-        for _ in range(8):
-            gn = g / max(np.sqrt((g ** 2).mean()), 1e-12)
-            s = ctr @ gn / max((gn ** 2).sum(), 1e-12)
-            num = (s[:, None] * ctr).sum(axis=0)
-            den = max((s ** 2).sum(), 1e-12)
-            g = num / den
-        gn = g / max(np.sqrt((g ** 2).mean()), 1e-12)
-        s = ctr @ gn / max((gn ** 2).sum(), 1e-12)
-        sl = slice(t * rows_per_tile, (t + 1) * rows_per_tile)
-        g_out[t] = gn
-        s_out[sl] = s
-        m_out[sl] = m
-    approx = m_out[:, None] + s_out[:, None] * np.repeat(
-        g_out, rows_per_tile, axis=0)
-    relerr = float(np.linalg.norm(approx - lut) /
+    rows = lut.reshape(T, rows_per_tile, C)
+    m = rows.mean(axis=2)  # [T, R]
+    ctr = rows - m[..., None]  # [T, R, C]
+    g = ctr.mean(axis=1)  # [T, C]
+    fallback = np.arange(C, dtype=np.float64) - (C - 1) / 2
+    weak = np.abs(g).max(axis=1) < 1e-12
+    g[weak] = fallback
+    for _ in range(8):
+        gn = g / np.maximum(np.sqrt((g ** 2).mean(axis=1, keepdims=True)),
+                            1e-12)
+        den_g = np.maximum((gn ** 2).sum(axis=1, keepdims=True), 1e-12)
+        s = np.einsum("trc,tc->tr", ctr, gn) / den_g  # [T, R]
+        num = np.einsum("tr,trc->tc", s, ctr)
+        den = np.maximum((s ** 2).sum(axis=1, keepdims=True), 1e-12)
+        g = num / den
+    gn = g / np.maximum(np.sqrt((g ** 2).mean(axis=1, keepdims=True)), 1e-12)
+    den_g = np.maximum((gn ** 2).sum(axis=1, keepdims=True), 1e-12)
+    s = np.einsum("trc,tc->tr", ctr, gn) / den_g
+    approx = m[..., None] + s[..., None] * gn[:, None, :]
+    relerr = float(np.linalg.norm(approx - rows) /
                    max(np.linalg.norm(lut), 1e-12))
-    return (g_out.astype(np.float32), s_out.astype(np.float32),
-            m_out.astype(np.float32), relerr)
+    return (gn.astype(np.float32), s.reshape(N).astype(np.float32),
+            m.reshape(N).astype(np.float32), relerr)
 
 
 def shape_to_poly(g: np.ndarray, bits: int) -> np.ndarray:
