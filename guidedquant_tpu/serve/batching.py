@@ -1,0 +1,241 @@
+"""Continuous batching: slot-based scheduler over the static decode engine.
+
+The reference serves strictly batch-1 on one GPU (SURVEY.md §2.6 lists
+continuous batching as absent); production TPU serving needs it, so this is
+green-field: a fixed pool of batch slots over one static KV cache, per-slot
+positions, asynchronous admission (prefill into a free slot) and retirement
+(EOS / max length), with every step a single jitted batched decode.
+
+Design notes:
+- Static shapes throughout: the cache is [L, B_slots, S_max, KV, Dh]; slots
+  join/leave by masking, never by reshaping.
+- Per-slot cache writes use scatter (vmapped dynamic_update_slice over the
+  slot axis) because slots sit at different positions.
+- Inactive slots still compute (masked) — the XLA-friendly trade: decode
+  cost is O(B_slots) regardless of occupancy, admission never recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import llama
+from ..models.config import ModelConfig
+from .engine import _attend
+
+
+@struct.dataclass
+class SlotState:
+    k: jnp.ndarray    # [L, B, S_max, KV, Dh]
+    v: jnp.ndarray
+    pos: jnp.ndarray  # [B] int32 — tokens currently in each slot's cache
+
+
+def init_slots(cfg: ModelConfig, num_layers: int, slots: int, max_seq: int,
+               dtype=jnp.bfloat16) -> SlotState:
+    shape = (num_layers, slots, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    z = jnp.zeros(shape, dtype)
+    return SlotState(k=z, v=jnp.copy(z),
+                     pos=jnp.zeros((slots,), jnp.int32))
+
+
+def _write_slots(cache, new, pos):
+    """cache [B, S, KV, Dh]; new [B, S_new, KV, Dh]; pos [B] write offsets."""
+    def write_one(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
+    return jax.vmap(write_one)(cache, new, pos)
+
+
+def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
+    from ..nn.linear import apply_linear
+    B, S, _ = x.shape
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    if "qkv_proj" in lp:
+        qkv = apply_linear(lp["qkv_proj"], h)
+        q = qkv[..., :cfg.q_dim].reshape(B, S, H, Dh)
+        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim].reshape(B, S, KV, Dh)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, S, KV, Dh)
+    else:
+        q = apply_linear(lp["q_proj"], h).reshape(B, S, H, Dh)
+        k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
+        v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
+    q = llama.apply_rope(q, cos, sin)
+    k = llama.apply_rope(k, cos, sin)
+    k_cache, v_cache = kv_l
+    k_cache = _write_slots(k_cache, k, pos)
+    v_cache = _write_slots(v_cache, v, pos)
+    ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
+    x = x + apply_linear(lp["o_proj"], ctx)
+    h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    if "gate_up_proj" in lp:
+        gu = apply_linear(lp["gate_up_proj"], h)
+        f = cfg.intermediate_size
+        g, u = gu[..., :f], gu[..., f:]
+    else:
+        g = apply_linear(lp["gate_proj"], h)
+        u = apply_linear(lp["up_proj"], h)
+    x = x + apply_linear(lp["down_proj"], jax.nn.silu(g) * u)
+    return x, (k_cache, v_cache)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def decode_step_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
+                      state: SlotState, active: jnp.ndarray):
+    """One token for every slot (inactive slots masked). tok [B]; active [B]
+    bool. Returns (logits [B, V], state with pos advanced on active)."""
+    B = tok.shape[0]
+    S_max = state.k.shape[2]
+    positions = state.pos[:, None]  # [B, 1]
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+    x = llama.embed_tokens(params, tok[:, None]).astype(state.k.dtype)
+    t_ids = jnp.arange(S_max)[None, None, :]
+    # [B, 1, S]: slot b attends to t <= pos[b]
+    t_mask = jnp.where(t_ids <= positions[:, :, None], 0.0, -1e30)
+    # _attend expects mask broadcastable over [B, KV, G, S, T]
+    mask = t_mask[:, None, None, :, :]
+
+    def body(carry, xs):
+        x = carry
+        lp, k_l, v_l = xs
+        x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin, (k_l, v_l),
+                                    state.pos, mask)
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], state.k, state.v))
+    logits = llama.unembed(params, cfg, x)[:, 0]
+    new_pos = jnp.where(active, state.pos + 1, state.pos)
+    return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
+                 state: SlotState, slot: jnp.ndarray):
+    """Prefill one slot with prompt [1, S]; other slots untouched.
+
+    Runs the prompt through the stack against an empty per-slot cache and
+    scatters the new K/V into ``slot``. Returns (last logits [V], state).
+    """
+    B = state.k.shape[1]
+    S = prompt.shape[1]
+    S_max = state.k.shape[2]
+    positions = jnp.arange(S)[None, :]
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+    x = llama.embed_tokens(params, prompt).astype(state.k.dtype)
+    mask = llama.causal_mask(S, S_max)[None, None, None]
+
+    def body(carry, xs):
+        x = carry
+        lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
+        # compute with an isolated cache for this slot
+        k_slot = jnp.zeros((1, S_max, cfg.num_kv_heads, cfg.head_dim),
+                           state.k.dtype)
+        v_slot = jnp.zeros_like(k_slot)
+        x, (k_slot, v_slot) = _slot_layer(
+            lp, cfg, x, cos, sin, (k_slot, v_slot),
+            jnp.zeros((1,), jnp.int32), mask)
+        k_l = jax.lax.dynamic_update_slice(
+            k_l, k_slot, (slot, 0, 0, 0))
+        v_l = jax.lax.dynamic_update_slice(
+            v_l, v_slot, (slot, 0, 0, 0))
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], state.k, state.v))
+    logits = llama.unembed(params, cfg, x)[0, -1]
+    new_pos = state.pos.at[slot].set(S)
+    return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    out: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Host-side scheduler: admit -> batched decode -> retire."""
+
+    def __init__(self, params, cfg: ModelConfig, slots: int = 4,
+                 max_seq: int = 512, eos_id: Optional[int] = None,
+                 kv_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.eos_id = eos_id
+        self.state = init_slots(cfg, cfg.num_layers, slots, max_seq,
+                                dtype=kv_dtype)
+        self.max_seq = max_seq
+        self.queue: List[Request] = []
+        self.slot_req: List[Optional[Request]] = [None] * slots
+        self.cur_tok = np.zeros(slots, np.int32)
+        self._next_id = 0
+        self.finished: Dict[int, Request] = {}
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(Request(rid, np.asarray(prompt).reshape(-1),
+                                  max_new_tokens))
+        return rid
+
+    def _admit(self):
+        for b in range(self.slots):
+            if self.slot_req[b] is None and self.queue:
+                req = self.queue.pop(0)
+                logits, self.state = prefill_slot(
+                    self.params, self.cfg, jnp.asarray(req.prompt[None]),
+                    self.state, jnp.int32(b))
+                tok = int(np.argmax(np.asarray(logits)))
+                req.out.append(tok)
+                self.cur_tok[b] = tok
+                self.slot_req[b] = req
+
+    def step(self) -> bool:
+        """Admit + one decode step. Returns True if any work remains."""
+        self._admit()
+        active = np.array([r is not None for r in self.slot_req])
+        if not active.any():
+            return bool(self.queue)
+        logits, self.state = decode_step_slots(
+            self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
+            jnp.asarray(active))
+        toks = np.argmax(np.asarray(logits), axis=-1)
+        for b in range(self.slots):
+            req = self.slot_req[b]
+            if req is None:
+                continue
+            tok = int(toks[b])
+            req.out.append(tok)
+            self.cur_tok[b] = tok
+            slot_len = int(np.asarray(self.state.pos)[b])
+            if (len(req.out) >= req.max_new_tokens
+                    or (self.eos_id is not None and tok == self.eos_id)
+                    or slot_len >= self.max_seq - 1):
+                req.done = True
+                self.finished[req.req_id] = req
+                self.slot_req[b] = None
+                # free the slot (cache left dirty; pos reset)
+                self.state = self.state.replace(
+                    pos=self.state.pos.at[b].set(0))
+        return any(r is not None for r in self.slot_req) or bool(self.queue)
+
+    def run(self, max_steps: int = 10000) -> Dict[int, Request]:
+        steps = 0
+        while self.step():
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("batcher did not converge")
+        return self.finished
