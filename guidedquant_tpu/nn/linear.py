@@ -107,7 +107,9 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
             ok = True
             for lut in luts:
                 g, sr, mr, relerr = lut_kernels.fit_shared_shape(lut, tile)
-                if relerr > 1e-4:
+                # in-family luts reach ~1e-6 in f32 but only ~3e-3 after
+                # bf16/f16 storage rounding; genuinely free luts sit >5e-2
+                if relerr > 2e-2:
                     ok = False
                     break
                 gs.append(lut_kernels.shape_to_poly(g, bits))

@@ -326,6 +326,13 @@ def lut_matmul_shared(x: jnp.ndarray, words: jnp.ndarray, gpoly: jnp.ndarray,
     assert N % tile_n == 0 and gpoly.shape[0] == N // tile_n
     C = 2 ** bits
 
+    # SMEM blocks need the sublane dim to be a multiple of 8 (or the full
+    # array); pad the tile axis — the kernel only reads rows < N//tile_n.
+    T = gpoly.shape[0]
+    T_pad = ((T + 7) // 8) * 8
+    if T_pad != T:
+        gpoly = jnp.pad(gpoly, ((0, T_pad - T), (0, 0)))
+
     gx = pl.pallas_call(
         functools.partial(_shared_kernel, bits=bits, tile_n=tile_n,
                           tile_k=TK),
@@ -335,7 +342,7 @@ def lut_matmul_shared(x: jnp.ndarray, words: jnp.ndarray, gpoly: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, LANE_WORDS), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N // tile_n, C), lambda i, j: (0, 0),
+            pl.BlockSpec((T_pad, C), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),

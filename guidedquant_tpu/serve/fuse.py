@@ -32,12 +32,21 @@ def _concat_linears(ws, axis_n: int):
                 for b in first.luts}
         qwords = None
         pcoef = None
+        gpoly = srow = mrow = None
         if all(w.qwords is not None for w in ws):
             qwords = jnp.concatenate([w.qwords for w in ws], axis=axis_n)
             pcoef = jnp.concatenate([w.pcoef for w in ws], axis=axis_n)
+        if all(w.gpoly is not None for w in ws):
+            # valid iff every module's rows are whole tiles of equal size
+            tiles = {w.out_features // w.gpoly.shape[axis_n] for w in ws}
+            if len(tiles) == 1:
+                gpoly = jnp.concatenate([w.gpoly for w in ws], axis=axis_n)
+                srow = jnp.concatenate([w.srow for w in ws], axis=axis_n)
+                mrow = jnp.concatenate([w.mrow for w in ws], axis=axis_n)
         return AnyPrecLinear(
             qweight=jnp.concatenate([w.qweight for w in ws], axis=axis_n + 1),
             luts=luts, bias=None, qwords=qwords, pcoef=pcoef,
+            gpoly=gpoly, srow=srow, mrow=mrow,
             precision=first.precision,
             out_features=sum(w.out_features for w in ws),
             in_features=first.in_features)
