@@ -82,6 +82,14 @@ def main():
     del params_bf16
 
     qparams = fuse_projections(_build_quantized_llama(cfg, 0, bits=2))
+    if os.environ.get("BENCH_SHARED", "0") != "1":
+        # default to the exact-poly kernel (validated end-to-end on HW);
+        # BENCH_SHARED=1 opts into the faster shared-shape decode path
+        from guidedquant_tpu.nn.linear import AnyPrecLinear
+        qparams = {**qparams, "layers": {
+            k: (v.replace(gpoly=None, srow=None, mrow=None)
+                if isinstance(v, AnyPrecLinear) else v)
+            for k, v in qparams["layers"].items()}}
     q_tok_s = _decode_tok_s(qparams, cfg, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s
