@@ -118,6 +118,89 @@ def load_packed(model_dir: str, precision: Optional[int] = None,
     return cfg, params
 
 
+def mixed_pack(output_dir: str, cfg: ModelConfig, dense_params,
+               module_configs: Dict[str, Dict],
+               group_count: int = 1) -> None:
+    """Mixed-precision pack (reference ``mixed_pack``, pack.py:248-301):
+    each module takes its codes/LUTs from a (possibly different) quantized
+    cache at its own precision.
+
+    module_configs: {module: {"lut_path": quantized_dir, "precision": b}}.
+    Precision is per-module (uniform over layers) so the packed arrays stay
+    stacked/scan-ready.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    L = cfg.num_layers
+    meta_cfg = {}
+    for m in cfg.module_names:
+        spec = module_configs[m]
+        b = spec["precision"]
+        # stored labels are at the cache's parent precision; the b-bit code
+        # is the MSB prefix (any-precision property)
+        parent = max(int(d.split("_")[1])
+                     for d in os.listdir(spec["lut_path"])
+                     if d.startswith("lut_"))
+        qws, luts = [], []
+        for l in range(L):
+            labels = cache_util.load_npz_dict(cache_util.layer_path(
+                os.path.join(spec["lut_path"], "weights"), l))[m]
+            lut = cache_util.load_npz_dict(cache_util.layer_path(
+                os.path.join(spec["lut_path"], f"lut_{b}"), l))[m]
+            N, G, gs = labels.shape
+            codes = labels.reshape(N, G * gs) >> (parent - b)
+            qws.append(pack_bitplanes(codes, b))
+            luts.append(lut.reshape(N, -1))
+        arrays[f"layers.{m}.qweight"] = np.stack(qws)
+        arrays[f"layers.{m}.lut{b}"] = np.stack(luts).astype(np.float16)
+        meta_cfg[m] = {"precision": b}
+    arrays["embed"] = np.asarray(dense_params["embed"], np.float32)
+    arrays["final_norm"] = np.asarray(dense_params["final_norm"], np.float32)
+    arrays["layers.attn_norm"] = np.asarray(
+        dense_params["layers"]["attn_norm"], np.float32)
+    arrays["layers.mlp_norm"] = np.asarray(
+        dense_params["layers"]["mlp_norm"], np.float32)
+    if not cfg.tie_word_embeddings:
+        arrays["lm_head"] = np.asarray(dense_params["lm_head"], np.float32)
+    cache_util.save_npz_dict(os.path.join(output_dir, "model.npz"), arrays)
+    cache_util.save_json(os.path.join(output_dir, "config.json"), {
+        "model_config": cfg.to_json(),
+        "anyprec": {"mixed": True, "module_configs": meta_cfg,
+                    "group_count": group_count},
+    })
+
+
+def load_mixed_packed(model_dir: str, dtype=jnp.bfloat16,
+                      kernel_layout: bool = True):
+    """Load a mixed-precision packed dir -> (cfg, params)."""
+    from ..nn.linear import with_kernel_layout
+    meta = cache_util.load_json(os.path.join(model_dir, "config.json"))
+    cfg = ModelConfig.from_json(meta["model_config"])
+    mc = meta["anyprec"]["module_configs"]
+    z = cache_util.load_npz_dict(os.path.join(model_dir, "model.npz"))
+    layers: Dict[str, object] = {
+        "attn_norm": jnp.asarray(z["layers.attn_norm"], dtype),
+        "mlp_norm": jnp.asarray(z["layers.mlp_norm"], dtype),
+    }
+    for m in cfg.module_names:
+        b = mc[m]["precision"]
+        qw = z[f"layers.{m}.qweight"]
+        L, bits, N, Kw = qw.shape
+        w = AnyPrecLinear(
+            qweight=jnp.asarray(qw),
+            luts={b: jnp.asarray(z[f"layers.{m}.lut{b}"], dtype)},
+            bias=None, precision=b, out_features=N, in_features=Kw * 32)
+        layers[m] = with_kernel_layout(w) if kernel_layout else w
+    params = {
+        "embed": jnp.asarray(z["embed"], dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(z["final_norm"], dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(z["lm_head"], dtype)
+    return cfg, params
+
+
 def set_model_precision(params, precision: int, kernel_layout: bool = True):
     """Switch the active bit-width of every AnyPrecLinear (runtime 2<->8
     switch, reference AnyPrecisionForCausalLM.set_precision)."""
