@@ -156,6 +156,9 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
     from .act_quant import ActQuantLinear, apply_act_quant_linear
     if isinstance(w, ActQuantLinear):
         return apply_act_quant_linear(w, x)
+    from .bcq_linear import BcqLinear, apply_bcq
+    if isinstance(w, BcqLinear):
+        return apply_bcq(w, x)
     return jnp.einsum("...k,nk->...n", x, w.astype(x.dtype))
 
 
