@@ -58,10 +58,9 @@ def save_packed(output_dir: str, cfg: ModelConfig, dense_params,
     # dense residuals
     arrays["embed"] = np.asarray(dense_params["embed"], np.float32)
     arrays["final_norm"] = np.asarray(dense_params["final_norm"], np.float32)
-    arrays["layers.attn_norm"] = np.asarray(
-        dense_params["layers"]["attn_norm"], np.float32)
-    arrays["layers.mlp_norm"] = np.asarray(
-        dense_params["layers"]["mlp_norm"], np.float32)
+    for k, v in dense_params["layers"].items():
+        if k not in cfg.module_names and not hasattr(v, "luts"):
+            arrays[f"layers.{k}"] = np.asarray(v, np.float32)
     if not cfg.tie_word_embeddings:
         arrays["lm_head"] = np.asarray(dense_params["lm_head"], np.float32)
 
@@ -94,9 +93,12 @@ def load_packed(model_dir: str, precision: Optional[int] = None,
 
     z = cache_util.load_npz_dict(os.path.join(model_dir, "model.npz"))
     layers: Dict[str, object] = {
-        "attn_norm": jnp.asarray(z["layers.attn_norm"], dtype),
-        "mlp_norm": jnp.asarray(z["layers.mlp_norm"], dtype),
-    }
+        k[len("layers."):]: jnp.asarray(v, dtype)
+        for k, v in z.items()
+        if k.startswith("layers.") and "." not in k[len("layers."):]
+        and not any(k == f"layers.{m}.{s_}" for m in cfg.module_names
+                    for s_ in ("qweight",))}
+    layers = {k: v for k, v in layers.items() if k not in cfg.module_names}
     from ..nn.linear import with_kernel_layout
     for m in cfg.module_names:
         qw = z[f"layers.{m}.qweight"]
@@ -156,10 +158,9 @@ def mixed_pack(output_dir: str, cfg: ModelConfig, dense_params,
         meta_cfg[m] = {"precision": b}
     arrays["embed"] = np.asarray(dense_params["embed"], np.float32)
     arrays["final_norm"] = np.asarray(dense_params["final_norm"], np.float32)
-    arrays["layers.attn_norm"] = np.asarray(
-        dense_params["layers"]["attn_norm"], np.float32)
-    arrays["layers.mlp_norm"] = np.asarray(
-        dense_params["layers"]["mlp_norm"], np.float32)
+    for k, v in dense_params["layers"].items():
+        if k not in cfg.module_names and not hasattr(v, "luts"):
+            arrays[f"layers.{k}"] = np.asarray(v, np.float32)
     if not cfg.tie_word_embeddings:
         arrays["lm_head"] = np.asarray(dense_params["lm_head"], np.float32)
     cache_util.save_npz_dict(os.path.join(output_dir, "model.npz"), arrays)
@@ -179,9 +180,12 @@ def load_mixed_packed(model_dir: str, dtype=jnp.bfloat16,
     mc = meta["anyprec"]["module_configs"]
     z = cache_util.load_npz_dict(os.path.join(model_dir, "model.npz"))
     layers: Dict[str, object] = {
-        "attn_norm": jnp.asarray(z["layers.attn_norm"], dtype),
-        "mlp_norm": jnp.asarray(z["layers.mlp_norm"], dtype),
-    }
+        k[len("layers."):]: jnp.asarray(v, dtype)
+        for k, v in z.items()
+        if k.startswith("layers.") and "." not in k[len("layers."):]
+        and not any(k == f"layers.{m}.{s_}" for m in cfg.module_names
+                    for s_ in ("qweight",))}
+    layers = {k: v for k, v in layers.items() if k not in cfg.module_names}
     for m in cfg.module_names:
         b = mc[m]["precision"]
         qw = z[f"layers.{m}.qweight"]

@@ -42,10 +42,9 @@ def save_packed(output_dir: str, cfg: ModelConfig, dense_params,
         arrays["tlut"] = cb.tlut
     arrays["embed"] = np.asarray(dense_params["embed"], np.float32)
     arrays["final_norm"] = np.asarray(dense_params["final_norm"], np.float32)
-    arrays["layers.attn_norm"] = np.asarray(
-        dense_params["layers"]["attn_norm"], np.float32)
-    arrays["layers.mlp_norm"] = np.asarray(
-        dense_params["layers"]["mlp_norm"], np.float32)
+    for k, v in dense_params["layers"].items():
+        if k not in cfg.module_names and not hasattr(v, "luts"):
+            arrays[f"layers.{k}"] = np.asarray(v, np.float32)
     if not cfg.tie_word_embeddings:
         arrays["lm_head"] = np.asarray(dense_params["lm_head"], np.float32)
 
@@ -80,9 +79,12 @@ def load_packed(model_dir: str, dtype=jnp.bfloat16, cache_dense: bool = True,
             "gate_proj": (f, d), "up_proj": (f, d), "down_proj": (d, f)}
 
     layers: Dict[str, object] = {
-        "attn_norm": jnp.asarray(z["layers.attn_norm"], dtype),
-        "mlp_norm": jnp.asarray(z["layers.mlp_norm"], dtype),
-    }
+        k[len("layers."):]: jnp.asarray(v, dtype)
+        for k, v in z.items()
+        if k.startswith("layers.") and "." not in k[len("layers."):]
+        and not any(k == f"layers.{m}.{s_}" for m in cfg.module_names
+                    for s_ in ("qweight",))}
+    layers = {k: v for k, v in layers.items() if k not in cfg.module_names}
     for mname in cfg.module_names:
         m, n = dims[mname]
         tr = z[f"layers.{mname}.trellis"]

@@ -39,6 +39,7 @@ class ModelConfig:
     rope_scaling: Optional[RopeScaling] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
+    qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
     max_seq_len: int = 4096
     # Quantization-pipeline metadata (analog of the arch YAMLs:
     # reference any_precision/analyzer/architectures/llama.yaml).
@@ -136,6 +137,16 @@ CONFIGS = {
         intermediate_size=8192, num_layers=28, num_heads=24, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, rope_scaling=_llama31_scaling(),
         rms_norm_eps=1e-5, tie_word_embeddings=True, max_seq_len=8192),
+    "qwen3-8b": ModelConfig(
+        name="qwen3-8b", vocab_size=151936, hidden_size=4096,
+        intermediate_size=12288, num_layers=36, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6, qk_norm=True,
+        max_seq_len=32768, arch="qwen3"),
+    "mistral-7b": ModelConfig(
+        name="mistral-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        rope_theta=10000.0, rms_norm_eps=1e-5, max_seq_len=8192,
+        arch="mistral"),
     # Small configs for tests and CI.
     "tiny": ModelConfig(
         name="tiny", vocab_size=256, hidden_size=64, intermediate_size=128,

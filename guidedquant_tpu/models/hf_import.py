@@ -41,7 +41,10 @@ def config_from_hf(hf_config) -> ModelConfig:
     head_dim = getattr(hf_config, "head_dim", None)
     if head_dim is None:
         head_dim = hf_config.hidden_size // hf_config.num_attention_heads
+    arch = getattr(hf_config, "model_type", "llama")
     return ModelConfig(
+        arch=arch,
+        qk_norm=arch in ("qwen3", "qwen3_moe"),
         name=getattr(hf_config, "name_or_path", "hf-import") or "hf-import",
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -89,8 +92,12 @@ def params_from_state_dict(state: Dict[str, Any], cfg: ModelConfig,
         return _to_np(state[k])
 
     L = cfg.num_layers
+    keys = dict(_LAYER_KEYS)
+    if cfg.qk_norm:
+        keys["q_norm"] = "self_attn.q_norm.weight"
+        keys["k_norm"] = "self_attn.k_norm.weight"
     layers: Dict[str, Any] = {}
-    for ours, theirs in _LAYER_KEYS.items():
+    for ours, theirs in keys.items():
         stacked = np.stack(
             [get(f"model.layers.{i}.{theirs}") for i in range(L)], axis=0)
         layers[ours] = jnp.asarray(stacked, dtype)

@@ -65,6 +65,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
         },
         "final_norm": jnp.ones((d,), dtype),
     }
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(ks[8], (cfg.vocab_size, d), d)
     return params
@@ -152,6 +155,9 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
     k = apply_linear(lp["k_proj"], x).reshape(B, S, KV, Dh)
     v = apply_linear(lp["v_proj"], x).reshape(B, S, KV, Dh)
 
+    if cfg.qk_norm:  # Qwen3 per-head RMSNorm before RoPE
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -306,6 +312,9 @@ def _decoder_layer_tapped(lp, cfg, x, cos, sin, mask, tap):
     q = (apply_linear(lp["q_proj"], h) + tap["q_proj"]).reshape(B, S, H, Dh)
     k = (apply_linear(lp["k_proj"], h) + tap["k_proj"]).reshape(B, S, KV, Dh)
     v = (apply_linear(lp["v_proj"], h) + tap["v_proj"]).reshape(B, S, KV, Dh)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     G = H // KV

@@ -68,6 +68,9 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
         q = apply_linear(lp["q_proj"], h).reshape(B, S, H, Dh)
         k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
         v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
+    if cfg.qk_norm:
+        q = llama.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = llama.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
     k_cache, v_cache = kv_l

@@ -87,3 +87,42 @@ def test_tapped_forward_is_identity_at_zero():
     base = llama.forward_unrolled(params, cfg, tokens)
     tapped = llama.forward_unrolled(params, cfg, tokens, taps=taps)
     np.testing.assert_allclose(np.asarray(base), np.asarray(tapped), atol=1e-5)
+
+
+def test_qwen3_logits_match_hf():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+    torch.manual_seed(0)
+    model = Qwen3ForCausalLM(Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        attn_implementation="eager"))
+    model.eval()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    assert cfg.qk_norm
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 128, size=(2, 11), dtype=np.int64)
+    with pytest.importorskip("torch").no_grad():
+        ref = model(input_ids=__import__("torch").from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_qwen3_engine_decode():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+    from guidedquant_tpu.serve import engine
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        attn_implementation="eager"))
+    model.eval()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    prompt = np.array([[5, 9, 3]], dtype=np.int32)
+    out, _ = engine.generate(params, cfg, prompt, 8, kv_dtype=jnp.float32)
+    ref = model.generate(__import__("torch").from_numpy(prompt.astype(np.int64)),
+                         max_new_tokens=8, do_sample=False)[0].numpy()
+    np.testing.assert_array_equal(out[0], ref)

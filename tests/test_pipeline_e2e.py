@@ -131,3 +131,24 @@ def test_lnq_hessian_stage_resume(tiny_model, tmp_path):
     layerwise_nuq("tinytest", **kw)
     assert os.path.exists(os.path.join(hdir, "l1.npz"))
     assert os.path.getmtime(os.path.join(hdir, "l0.npz")) == t0
+
+
+def test_lnq_pipeline_qwen3_arch(tmp_path):
+    """Flagship pipeline on a qk-norm (Qwen3-style) architecture."""
+    cfg = get_config("tiny").replace(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, qk_norm=True,
+        arch="qwen3")
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, 96, size=(4, 32), dtype=np.int32)
+    stream = rng.integers(0, 96, size=(256,), dtype=np.int32)
+    packed = layerwise_nuq(
+        "tinyqwen", cfg=cfg, params=params, seed_precision=3,
+        cache_dir=str(tmp_path / "c"), dataset="synthetic", seq_len=32,
+        num_examples=4, num_groups=1, num_iterations=1, cd_cycles=1,
+        tokens=tokens)
+    qcfg, qparams = load_packed(packed, dtype=jnp.float32)
+    assert "q_norm" in qparams["layers"]
+    ppl = evaluate_ppl(qparams, qcfg, stream, ctx_len=64, verbose=False)
+    assert np.isfinite(ppl)
