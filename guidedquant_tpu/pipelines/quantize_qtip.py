@@ -31,7 +31,7 @@ logger = logging.getLogger(__name__)
 def run_qtip_stage(params, cfg: ModelConfig, hessians_path: str,
                    quantized_path: str, cb: BitshiftCodebook,
                    td_x: int, td_y: int, scale_override: float,
-                   sigma_reg: float):
+                   sigma_reg: float, ft_steps: int = 0, ft_lr: float = 1e-3):
     todo, done = cache_util.done_layers(quantized_path, cfg.num_layers)
     if done:
         logger.info("qtip: skipping completed layers %s", done)
@@ -44,6 +44,10 @@ def run_qtip_stage(params, cfg: ModelConfig, hessians_path: str,
                 weights[m], hess[m], cb, td_x=td_x, td_y=td_y,
                 scale_override=scale_override, sigma_reg=sigma_reg,
                 seed=l)
+            if ft_steps:
+                from ..solvers.qtip.finetune import finetune_susv
+                art = finetune_susv(art, weights[m], hess[m],
+                                    steps=ft_steps, lr=ft_lr)
             out[f"{m}.trellis"] = art["trellis"]
             out[f"{m}.SU"] = art["SU"]
             out[f"{m}.SV"] = art["SV"]
@@ -59,6 +63,7 @@ def quantize_qtip(
         decode_mode: str = "quantlut_sym",
         td_x: int = 16, td_y: int = 16,
         scale_override: float = 0.9, sigma_reg: float = 0.01,
+        ft_steps: int = 0, ft_lr: float = 1e-3,
         mode: str = "pack",
         cache_dir: str = "cache",
         dataset: str = "c4", seq_len: int = 512, num_examples: int = 100,
@@ -107,7 +112,8 @@ def quantize_qtip(
         cb = BitshiftCodebook(L=L, K=K, V=V, tlut_bits=tlut_bits,
                               decode_mode=decode_mode)
     run_qtip_stage(params, cfg, hessians_path, quantized_path, cb,
-                   td_x, td_y, scale_override, sigma_reg)
+                   td_x, td_y, scale_override, sigma_reg,
+                   ft_steps=ft_steps, ft_lr=ft_lr)
     if mode == "quantize":
         return quantized_path
 

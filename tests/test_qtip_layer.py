@@ -83,3 +83,25 @@ def test_higher_K_improves_quality(rng):
     e2 = quantize_linear_qtip(W, H, cb2, seed=5)["proxy_err"]
     e4 = quantize_linear_qtip(W, H, cb3, seed=5)["proxy_err"]
     assert e4 < e2, (e4, e2)
+
+
+def test_finetune_susv_reduces_weighted_error(cb, rng):
+    from guidedquant_tpu.solvers.qtip.finetune import finetune_susv, _loss
+    import jax.numpy as jnp
+    m = n = 32
+    W, H = _instance(rng, m, n, g=2)
+    art = quantize_linear_qtip(W, H, cb, td_x=16, td_y=16, seed=9)
+    art2 = finetune_susv(art, W, H, steps=40, lr=3e-3)
+    l0, l1 = art2["finetune_loss"]
+    assert l1 < l0, (l0, l1)
+    # runtime module with tuned SU/SV still forward-consistent
+    lin = build_trellis_linear(art2, cb, m, n)
+    x = rng.normal(size=(2, n)).astype(np.float32)
+    y = np.asarray(apply_trellis(lin, jnp.asarray(x)))
+    W_eff = effective_dense_weight(lin)
+    np.testing.assert_allclose(y, x @ W_eff.T, atol=1e-4)
+    # and the tuned effective weight is a better fit than the original signs
+    rel2 = np.linalg.norm(W_eff - W) / np.linalg.norm(W)
+    lin0 = build_trellis_linear(art, cb, m, n)
+    rel0 = np.linalg.norm(effective_dense_weight(lin0) - W) / np.linalg.norm(W)
+    assert rel2 <= rel0 * 1.02
