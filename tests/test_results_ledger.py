@@ -30,3 +30,17 @@ def test_cli_imports():
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
         assert hasattr(m, "main")
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+    from guidedquant_tpu.utils import profiling
+    oh = profiling.measure_dispatch_overhead()
+    assert oh >= 0
+    out, t = profiling.timed(lambda x: x * 2, jnp.ones((8, 8)))
+    assert t >= 0
+    stats = profiling.log_memory("test")
+    assert isinstance(stats, dict)
+    from guidedquant_tpu.models import get_config
+    m = profiling.decode_metrics(get_config("llama-3.1-8b"), 100.0, 2.0)
+    assert m["achieved_GBps"] > 0 and m["achieved_TFLOPS"] > 0
