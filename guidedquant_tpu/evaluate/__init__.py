@@ -1,1 +1,1 @@
-from .ppl import evaluate_ppl  # noqa: F401
+from .ppl import evaluate_ppl, evaluate_ppl_layerwise  # noqa: F401

@@ -152,3 +152,12 @@ def test_lnq_pipeline_qwen3_arch(tmp_path):
     assert "q_norm" in qparams["layers"]
     ppl = evaluate_ppl(qparams, qcfg, stream, ctx_len=64, verbose=False)
     assert np.isfinite(ppl)
+
+
+def test_layerwise_ppl_matches_full(tiny_model):
+    from guidedquant_tpu.evaluate import evaluate_ppl_layerwise
+    cfg, params, _, stream = tiny_model
+    a = evaluate_ppl(params, cfg, stream, ctx_len=64, verbose=False)
+    b = evaluate_ppl_layerwise(params, cfg, stream, ctx_len=64,
+                               verbose=False)
+    assert abs(np.log(a) - np.log(b)) < 1e-3, (a, b)
