@@ -82,9 +82,9 @@ def main():
     del params_bf16
 
     qparams = fuse_projections(_build_quantized_llama(cfg, 0, bits=2))
-    if os.environ.get("BENCH_SHARED", "0") != "1":
-        # default to the exact-poly kernel (validated end-to-end on HW);
-        # BENCH_SHARED=1 opts into the faster shared-shape decode path
+    if os.environ.get("BENCH_SHARED", "1") != "1":
+        # BENCH_SHARED=0 falls back to the exact-poly kernel; default is the
+        # shared-shape decode path (both validated end-to-end on HW)
         from guidedquant_tpu.nn.linear import AnyPrecLinear
         qparams = {**qparams, "layers": {
             k: (v.replace(gpoly=None, srow=None, mrow=None)
