@@ -82,6 +82,16 @@ def main():
     del params_bf16
 
     qparams = fuse_projections(_build_quantized_llama(cfg, 0, bits=2))
+    if os.environ.get("BENCH_INT8_HEAD", "1") == "1":
+        # quantize the LM head to int8 (the largest bf16 term per step);
+        # embedding gather stays bf16
+        from guidedquant_tpu.nn.linear import quantize_int8
+        head = qparams.get("lm_head", qparams["embed"])
+        qparams = dict(qparams)
+        qparams["lm_head"] = quantize_int8(head)
+        cfg_q = cfg.replace(tie_word_embeddings=False)
+    else:
+        cfg_q = cfg
     if os.environ.get("BENCH_SHARED", "1") != "1":
         # BENCH_SHARED=0 falls back to the exact-poly kernel; default is the
         # shared-shape decode path (both validated end-to-end on HW)
@@ -90,7 +100,7 @@ def main():
             k: (v.replace(gpoly=None, srow=None, mrow=None)
                 if isinstance(v, AnyPrecLinear) else v)
             for k, v in qparams["layers"].items()}}
-    q_tok_s = _decode_tok_s(qparams, cfg, n_tokens)
+    q_tok_s = _decode_tok_s(qparams, cfg_q, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s
     result = {

@@ -79,3 +79,21 @@ def test_kv4_r3_generates(model):
     out, _ = engine.generate(params, cfg, prompt, 8, kv_bits=4, r3=True)
     assert out.shape == (1, 12)
     assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+
+def test_int8_head_close_to_dense(model):
+    from guidedquant_tpu.nn.linear import quantize_int8, apply_linear
+    cfg, params = model
+    W = params["layers"]["q_proj"][0]
+    lin = quantize_int8(W)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, cfg.hidden_size)),
+                    jnp.float32)
+    y = np.asarray(apply_linear(lin, x))
+    ref = np.asarray(x @ W.T)
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel
+    # stacked form
+    lin_s = quantize_int8(params["layers"]["q_proj"])
+    import jax as _jax
+    y0 = np.asarray(apply_linear(_jax.tree_util.tree_map(lambda a: a[0], lin_s), x))
+    np.testing.assert_allclose(y0, y, atol=1e-5)
