@@ -25,7 +25,8 @@ class QuantizedCausalLM:
 
     @classmethod
     def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
-                       dtype=jnp.bfloat16, fuse: bool = True):
+                       dtype=jnp.bfloat16, fuse: bool = True,
+                       int8_head: bool = False):
         import os
         from ..utils.cache import load_json
         meta = load_json(os.path.join(model_dir, "config.json"))
@@ -38,6 +39,12 @@ class QuantizedCausalLM:
             cfg, params = load_packed(model_dir, precision=precision,
                                       dtype=dtype)
             backend = "anyprec"
+        if int8_head:
+            from ..nn.linear import quantize_int8
+            head = params.get("lm_head", params["embed"])
+            params = dict(params)
+            params["lm_head"] = quantize_int8(head)
+            cfg = cfg.replace(tie_word_embeddings=False)
         obj = cls(cfg, params, backend)
         if fuse:
             obj.fuse()

@@ -64,3 +64,12 @@ def test_lm_eval_bridge_gated():
     if not has:
         with pytest.raises(ImportError, match="lm-eval"):
             lm_eval_bridge.run_lm_eval(None, None, None)
+
+
+def test_int8_head_option(packed_dir):
+    lm = QuantizedCausalLM.from_quantized(packed_dir, dtype=jnp.float32,
+                                          int8_head=True)
+    from guidedquant_tpu.nn.linear import Int8Linear
+    assert isinstance(lm.params["lm_head"], Int8Linear)
+    out, _ = lm.generate(np.array([[5, 9, 3]]), max_new_tokens=5)
+    assert out.shape == (1, 8)
