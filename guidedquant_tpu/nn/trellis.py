@@ -76,11 +76,68 @@ def decode_trellis_dense(cb, packed: np.ndarray, m: int, n: int,
     return tiles_to_dense(seqs, m, n, td_x, td_y)
 
 
+def decode_2mad_jnp(states: jnp.ndarray) -> jnp.ndarray:
+    """Traceable 2mad compute-codebook decode (uint32 LCG hash ->
+    pseudo-gaussian; reference bitshift.py:29-40). states int32 >= 0."""
+    x = states.astype(jnp.uint32)
+    x = x * jnp.uint32(264435761) + jnp.uint32(1013904223)
+    # ((x * 1664525) >> 32) + x  in 64-bit; emulate the high half via
+    # 16-bit split multiplies (TPU has no 64-bit ints)
+    # high 32 bits of x * 1664525 via 16-bit limbs (no 64-bit ints on TPU)
+    al = jnp.uint32(1664525 & 0xFFFF)
+    ah = jnp.uint32(1664525 >> 16)
+    xl = x & jnp.uint32(0xFFFF)
+    xh = x >> jnp.uint32(16)
+    p0 = xl * al
+    mid = xl * ah + xh * al + (p0 >> jnp.uint32(16))
+    hi = xh * ah + (mid >> jnp.uint32(16))
+    x = hi + x
+    y = ((x & jnp.uint32(255)) + ((x >> jnp.uint32(8)) & jnp.uint32(255))
+         + ((x >> jnp.uint32(16)) & jnp.uint32(255))
+         + ((x >> jnp.uint32(24)) & jnp.uint32(255)))
+    return (y.astype(jnp.float32) - 510.0) / 147.800537109375
+
+
+def unpack_trellis_states_jnp(packed: jnp.ndarray, T: int, L: int, K: int,
+                              V: int) -> jnp.ndarray:
+    """Traceable state extraction via the sliding-window property: state i is
+    bits [i*KV, i*KV+L) of the (wrapped) bitstream (what the reference's
+    decode_compressed kernel emulation does, kernel_decompress.py)."""
+    KV = K * V
+    assert (T * K * V // V) % 16 == 0, "bitstream must fill whole words"
+    w = packed.astype(jnp.uint32) & jnp.uint32(0xFFFF)  # uint16 words
+    Tv = T // V
+    starts = jnp.arange(Tv, dtype=jnp.uint32) * jnp.uint32(KV)
+    word_idx = (starts // 16).astype(jnp.int32)
+    bit_off = starts % 16
+    # two consecutive words cover any window (bit_off + L <= 30 for L<=16,
+    # KV>=2); tail windows wrap to the stream start (tail-biting)
+    wpad = jnp.concatenate([w, w[:, :2]], axis=1)
+    w0 = jnp.take(wpad, word_idx, axis=1)       # [B, Tv]
+    w1 = jnp.take(wpad, word_idx + 1, axis=1)
+    stream32 = (w0 << jnp.uint32(16)) | w1
+    shifted = (stream32 << bit_off[None, :]) & jnp.uint32(0xFFFFFFFF)
+    states = shifted >> jnp.uint32(32 - L)
+    return states.astype(jnp.int32)  # [B, Tv]
+
+
 def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
-    """Forward; currently uses the cached dense hatW path."""
-    assert w.hatW is not None, "trellis kernel path not yet wired; load with cache"
+    """Forward: cached dense hatW when present, else traceable decode for
+    compute codebooks (2mad)."""
+    if w.hatW is not None:
+        hatW = w.hatW.astype(x.dtype)
+    else:
+        assert w.decode_mode == "2mad" and w.V == 1, \
+            "traceable decode supports 2mad/V=1; load with cache_dense else"
+        m, n = w.out_features, w.in_features
+        T = w.td_x * w.td_y
+        states = unpack_trellis_states_jnp(w.trellis, T, w.L_bits, w.K, w.V)
+        vals = decode_2mad_jnp(states)  # [B_tiles, T]
+        tiles = vals.reshape(-1, T)
+        t4 = tiles.reshape(m // w.td_x, n // w.td_y, w.td_x, w.td_y)
+        hatW = t4.transpose(0, 2, 1, 3).reshape(m, n).astype(x.dtype)
     t = matmul_hadUt(x * w.SU.astype(x.dtype))
-    y = jnp.einsum("...k,nk->...n", t, w.hatW.astype(x.dtype))
+    y = jnp.einsum("...k,nk->...n", t, hatW)
     y = matmul_hadU(y)
     return y * (w.SV * w.Wscale).astype(x.dtype)
 
