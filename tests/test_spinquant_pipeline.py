@@ -105,3 +105,21 @@ def test_cayley_on_stacked_rotations():
         g = jax.grad(loss_fn)(R)
         R, state = cayley.update(g, state, R, lr=1e-2)
     assert float(cayley.orthogonality_error(R)) < 1e-3
+
+
+def test_export_int_weights(setup, tmp_path):
+    from guidedquant_tpu.formats.export import export_int_weights
+    cfg, params, tokens, _ = setup
+    qcfg, qparams = spinquant_ptq(
+        "tinysq", cfg=cfg, params=params, w_bits=4, a_bits=16, rotate=False,
+        use_rtn=True, cache_dir=str(tmp_path / "c"), dataset="synthetic",
+        seq_len=32, num_examples=4, tokens=tokens)
+    out = export_int_weights(qparams, qcfg, str(tmp_path / "et"), bits=4)
+    import numpy as _np, os as _os
+    z = _np.load(_os.path.join(out, "int_model.npz"))
+    q = z["layers.q_proj.int_weight"]
+    assert q.dtype == _np.int8 and q.min() >= -8 and q.max() <= 7
+    # reconstruction from exported ints matches the fake-quant weights
+    W = _np.asarray(qparams["layers"]["q_proj"].weight)
+    recon = q.astype(_np.float32) * z["layers.q_proj.scale"][..., None]
+    _np.testing.assert_allclose(recon, W, atol=1e-4)
