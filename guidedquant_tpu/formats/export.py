@@ -25,7 +25,9 @@ def export_int_weights(params: Dict, cfg: ModelConfig, output_dir: str,
 
     Recovers the integer grid from the fake-quantized weights: per row,
     scale = max|w| / maxq, q = round(w / scale). Exact when the weights came
-    from a symmetric quantizer at the same bit-width.
+    from an unclipped symmetric quantizer at the same bit-width (for
+    MSE-clipped runs, the per-element recon_err reports the residual; pass
+    the Wint/Scale captured by gptq_quantize for exactness).
     """
     os.makedirs(output_dir, exist_ok=True)
     maxq = 2 ** (bits - 1) - 1

@@ -112,8 +112,8 @@ def test_export_int_weights(setup, tmp_path):
     cfg, params, tokens, _ = setup
     qcfg, qparams = spinquant_ptq(
         "tinysq", cfg=cfg, params=params, w_bits=4, a_bits=16, rotate=False,
-        use_rtn=True, cache_dir=str(tmp_path / "c"), dataset="synthetic",
-        seq_len=32, num_examples=4, tokens=tokens)
+        use_rtn=True, w_clip=False, cache_dir=str(tmp_path / "c"),
+        dataset="synthetic", seq_len=32, num_examples=4, tokens=tokens)
     out = export_int_weights(qparams, qcfg, str(tmp_path / "et"), bits=4)
     import numpy as _np, os as _os
     z = _np.load(_os.path.join(out, "int_model.npz"))
