@@ -39,7 +39,16 @@ class ModelConfig:
     rope_scaling: Optional[RopeScaling] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
-    qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
+    qk_norm: bool = False  # per-head RMSNorm on q/k (Qwen3/Gemma3)
+    # Gemma3-family behaviors (defaults = Llama semantics)
+    norm_plus_one: bool = False      # RMSNorm weight as (1 + w)
+    sandwich_norms: bool = False     # post-attn/post-mlp norms inside residual
+    hidden_act: str = "silu"         # "silu" | "gelu_tanh"
+    attn_scalar: float = 0.0         # 0 -> 1/sqrt(head_dim); else 1/sqrt(s)
+    embed_scale: bool = False        # multiply embeddings by sqrt(hidden)
+    rope_local_theta: float = 0.0    # sliding layers' rope theta (0 = n/a)
+    sliding_window: int = 0          # local attention window (0 = global)
+    layer_types: Tuple[str, ...] = ()  # per-layer "sliding"/"global" pattern
     max_seq_len: int = 4096
     # Quantization-pipeline metadata (analog of the arch YAMLs:
     # reference any_precision/analyzer/architectures/llama.yaml).
@@ -90,6 +99,8 @@ class ModelConfig:
             d["rope_scaling"] = RopeScaling(**d["rope_scaling"])
         if isinstance(d.get("module_names"), list):
             d["module_names"] = tuple(d["module_names"])
+        if isinstance(d.get("layer_types"), list):
+            d["layer_types"] = tuple(d["layer_types"])
         return ModelConfig(**d)
 
 
@@ -142,6 +153,16 @@ CONFIGS = {
         intermediate_size=12288, num_layers=36, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6, qk_norm=True,
         max_seq_len=32768, arch="qwen3"),
+    "gemma3-4b": ModelConfig(
+        name="gemma3-4b", vocab_size=262208, hidden_size=2560,
+        intermediate_size=10240, num_layers=34, num_heads=8, num_kv_heads=4,
+        head_dim=256, rope_theta=1000000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, qk_norm=True, norm_plus_one=True,
+        sandwich_norms=True, hidden_act="gelu_tanh", attn_scalar=256.0,
+        embed_scale=True, rope_local_theta=10000.0, sliding_window=1024,
+        layer_types=tuple(("global" if (i + 1) % 6 == 0 else "sliding")
+                          for i in range(34)),
+        max_seq_len=8192, arch="gemma3"),
     "mistral-7b": ModelConfig(
         name="mistral-7b", vocab_size=32000, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,

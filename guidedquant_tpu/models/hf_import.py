@@ -42,9 +42,27 @@ def config_from_hf(hf_config) -> ModelConfig:
     if head_dim is None:
         head_dim = hf_config.hidden_size // hf_config.num_attention_heads
     arch = getattr(hf_config, "model_type", "llama")
+    gemma = arch in ("gemma3", "gemma3_text")
+    extra = {}
+    if gemma:
+        layer_types = tuple(
+            "global" if t == "full_attention" else "sliding"
+            for t in getattr(hf_config, "layer_types", []))
+        extra = dict(
+            norm_plus_one=True, sandwich_norms=True,
+            hidden_act="gelu_tanh",
+            attn_scalar=float(getattr(hf_config, "query_pre_attn_scalar",
+                                      hf_config.head_dim)),
+            embed_scale=True,
+            rope_local_theta=float(getattr(hf_config,
+                                           "rope_local_base_freq", 10000.0)),
+            sliding_window=int(getattr(hf_config, "sliding_window", 0) or 0),
+            layer_types=layer_types,
+        )
     return ModelConfig(
         arch=arch,
-        qk_norm=arch in ("qwen3", "qwen3_moe"),
+        qk_norm=arch in ("qwen3", "qwen3_moe") or gemma,
+        **extra,
         name=getattr(hf_config, "name_or_path", "hf-import") or "hf-import",
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -96,6 +114,12 @@ def params_from_state_dict(state: Dict[str, Any], cfg: ModelConfig,
     if cfg.qk_norm:
         keys["q_norm"] = "self_attn.q_norm.weight"
         keys["k_norm"] = "self_attn.k_norm.weight"
+    if cfg.sandwich_norms:
+        # Gemma3 naming: input/post_attention are the attention sandwich,
+        # pre/post_feedforward the MLP sandwich
+        keys["post_attn_norm"] = "post_attention_layernorm.weight"
+        keys["mlp_norm"] = "pre_feedforward_layernorm.weight"
+        keys["post_mlp_norm"] = "post_feedforward_layernorm.weight"
     layers: Dict[str, Any] = {}
     for ours, theirs in keys.items():
         stacked = np.stack(

@@ -68,6 +68,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     if cfg.qk_norm:
         params["layers"]["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
         params["layers"]["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+    if cfg.sandwich_norms:
+        params["layers"]["post_attn_norm"] = jnp.ones((L, d), dtype)
+        params["layers"]["post_mlp_norm"] = jnp.ones((L, d), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(ks[8], (cfg.vocab_size, d), d)
     return params
@@ -128,11 +131,30 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
+             plus_one: bool = False) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * lax.rsqrt(var + eps)
-    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+    w = weight.astype(jnp.float32)
+    if plus_one:  # Gemma convention: scale by (1 + w)
+        w = 1.0 + w
+    return (y * w).astype(x.dtype)
+
+
+def _norm(cfg: ModelConfig, x: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    return rms_norm(x, weight, cfg.rms_norm_eps, cfg.norm_plus_one)
+
+
+def _act(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
+def _attn_scale(cfg: ModelConfig) -> float:
+    s = cfg.attn_scalar if cfg.attn_scalar > 0 else cfg.head_dim
+    return 1.0 / float(s) ** 0.5
 
 
 def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
@@ -155,9 +177,9 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
     k = apply_linear(lp["k_proj"], x).reshape(B, S, KV, Dh)
     v = apply_linear(lp["v_proj"], x).reshape(B, S, KV, Dh)
 
-    if cfg.qk_norm:  # Qwen3 per-head RMSNorm before RoPE
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    if cfg.qk_norm:  # per-head RMSNorm before RoPE (Qwen3/Gemma3)
+        q = _norm(cfg, q, lp["q_norm"])
+        k = _norm(cfg, k, lp["k_norm"])
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -176,7 +198,7 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
     qg = q.reshape(B, S, KV, G, Dh)
     scores = jnp.einsum("bskgd,btkd->bkgst", qg, k_all,
                         preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(Dh).astype(jnp.float32)
+    scores = scores * _attn_scale(cfg)
     if mask is not None:
         scores = scores + mask  # mask broadcasts [B, 1, 1, S, T] or [S, T]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -189,10 +211,11 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
     return out, new_kv
 
 
-def mlp(lp: Params, x: jnp.ndarray, capture: Optional[dict] = None) -> jnp.ndarray:
+def mlp(lp: Params, x: jnp.ndarray, capture: Optional[dict] = None,
+        cfg: Optional[ModelConfig] = None) -> jnp.ndarray:
     g = apply_linear(lp["gate_proj"], x)
     u = apply_linear(lp["up_proj"], x)
-    h = jax.nn.silu(g) * u
+    h = (_act(cfg, g) if cfg is not None else jax.nn.silu(g)) * u
     if capture is not None:
         capture["down_proj"] = h
     return apply_linear(lp["down_proj"], h)
@@ -205,15 +228,20 @@ def decoder_layer(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
                   cache_pos: Optional[jnp.ndarray] = None,
                   capture: Optional[dict] = None,
                   ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    h = _norm(cfg, x, lp["attn_norm"])
     if capture is not None:
         capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = h
     attn_out, new_kv = attention(lp, cfg, h, cos, sin, mask, kv, cache_pos, capture)
+    if cfg.sandwich_norms:  # Gemma3 post-attention norm inside the residual
+        attn_out = _norm(cfg, attn_out, lp["post_attn_norm"])
     x = x + attn_out
-    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    h = _norm(cfg, x, lp["mlp_norm"])
     if capture is not None:
         capture["gate_proj"] = capture["up_proj"] = h
-    x = x + mlp(lp, h, capture)
+    m = mlp(lp, h, capture, cfg)
+    if cfg.sandwich_norms:
+        m = _norm(cfg, m, lp["post_mlp_norm"])
+    x = x + m
     return x, new_kv
 
 
@@ -243,14 +271,47 @@ def causal_mask(S: int, T: int, offset: int = 0, dtype=jnp.float32) -> jnp.ndarr
     return jnp.where(ki <= qi, 0.0, -jnp.inf).astype(dtype)
 
 
-def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed"], tokens, axis=0)
+def embed_tokens(params: Params, tokens: jnp.ndarray,
+                 cfg: Optional[ModelConfig] = None) -> jnp.ndarray:
+    e = jnp.take(params["embed"], tokens, axis=0)
+    if cfg is not None and cfg.embed_scale:  # Gemma3: sqrt(d) normalizer
+        e = e * jnp.asarray(cfg.hidden_size ** 0.5, e.dtype)
+    return e
 
 
 def unembed(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 cfg.norm_plus_one)
     head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     return apply_linear(head, x)
+
+
+def layer_rope_mask(cfg: ModelConfig, positions: jnp.ndarray,
+                    S: int, T: int, offset: int = 0):
+    """Per-layer (cos, sin, mask) stacks for mixed global/sliding models.
+
+    Returns (cos [L?..], sin, mask, None) — for uniform models the arrays
+    are unstacked and shared; for cfg.layer_types models returns stacked
+    [L, ...] arrays selecting global vs local rope/mask per layer.
+    """
+    cos_g, sin_g = rope_cos_sin(cfg, positions)
+    base_mask = causal_mask(S, T, offset)
+    if not cfg.layer_types:
+        return cos_g, sin_g, base_mask, False
+    local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
+                            rope_scaling=None)
+    cos_l, sin_l = rope_cos_sin(local_cfg, positions)
+    qi = jnp.arange(S)[:, None] + offset
+    ki = jnp.arange(T)[None, :]
+    in_window = ki > qi - cfg.sliding_window
+    local_mask = jnp.where((ki <= qi) & in_window, 0.0, -jnp.inf
+                           ).astype(base_mask.dtype)
+    is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
+    cos = jnp.where(is_global[:, None, None, None], cos_g[None], cos_l[None])
+    sin = jnp.where(is_global[:, None, None, None], sin_g[None], sin_l[None])
+    mask = jnp.where(is_global[:, None, None], base_mask[None],
+                     local_mask[None])
+    return cos, sin, mask, True
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -261,16 +322,23 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B, S = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-    if isinstance(mask, str) and mask == "causal":
-        mask = causal_mask(S, S)
-    cos, sin = rope_cos_sin(cfg, positions)
-    x = embed_tokens(params, tokens)
+    cos, sin, mask_, stacked = layer_rope_mask(cfg, positions, S, S)
+    if not (isinstance(mask, str) and mask == "causal"):
+        mask_ = mask
+        stacked = False
+    x = embed_tokens(params, tokens, cfg)
 
-    def body(carry, lp):
-        y, _ = decoder_layer(lp, cfg, carry, cos, sin, mask)
-        return y, None
-
-    x, _ = lax.scan(body, x, params["layers"])
+    if stacked:
+        def body(carry, xs):
+            lp, c, s_, mk = xs
+            y, _ = decoder_layer(lp, cfg, carry, c, s_, mk)
+            return y, None
+        x, _ = lax.scan(body, x, (params["layers"], cos, sin, mask_))
+    else:
+        def body(carry, lp):
+            y, _ = decoder_layer(lp, cfg, carry, cos, sin, mask_)
+            return y, None
+        x, _ = lax.scan(body, x, params["layers"])
     return unembed(params, cfg, x)
 
 
@@ -289,16 +357,16 @@ def forward_unrolled(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B, S = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-    mask = causal_mask(S, S)
-    cos, sin = rope_cos_sin(cfg, positions)
-    x = embed_tokens(params, tokens)
+    cos, sin, mask, stacked = layer_rope_mask(cfg, positions, S, S)
+    x = embed_tokens(params, tokens, cfg)
     L = num_layers_of(params)
     for i in range(L):
         lp = layer_slice(params["layers"], i)
+        c, s_, mk = (cos[i], sin[i], mask[i]) if stacked else (cos, sin, mask)
         if taps is None:
-            x, _ = decoder_layer(lp, cfg, x, cos, sin, mask)
+            x, _ = decoder_layer(lp, cfg, x, c, s_, mk)
         else:
-            x = _decoder_layer_tapped(lp, cfg, x, cos, sin, mask,
+            x = _decoder_layer_tapped(lp, cfg, x, c, s_, mk,
                                       layer_slice(taps, i))
     return unembed(params, cfg, x)
 
@@ -308,29 +376,35 @@ def _decoder_layer_tapped(lp, cfg, x, cos, sin, mask, tap):
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    h = _norm(cfg, x, lp["attn_norm"])
     q = (apply_linear(lp["q_proj"], h) + tap["q_proj"]).reshape(B, S, H, Dh)
     k = (apply_linear(lp["k_proj"], h) + tap["k_proj"]).reshape(B, S, KV, Dh)
     v = (apply_linear(lp["v_proj"], h) + tap["v_proj"]).reshape(B, S, KV, Dh)
     if cfg.qk_norm:
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = _norm(cfg, q, lp["q_norm"])
+        k = _norm(cfg, k, lp["k_norm"])
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     G = H // KV
     qg = q.reshape(B, S, KV, G, Dh)
     scores = jnp.einsum("bskgd,btkd->bkgst", qg, k,
-                        preferred_element_type=jnp.float32) / jnp.sqrt(Dh)
+                        preferred_element_type=jnp.float32) * _attn_scale(cfg)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bkgst,btkd->bskgd", probs, v).reshape(B, S, H * Dh)
-    x = x + apply_linear(lp["o_proj"], ctx) + tap["o_proj"]
+    attn_out = apply_linear(lp["o_proj"], ctx) + tap["o_proj"]
+    if cfg.sandwich_norms:
+        attn_out = _norm(cfg, attn_out, lp["post_attn_norm"])
+    x = x + attn_out
 
-    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    h = _norm(cfg, x, lp["mlp_norm"])
     g = apply_linear(lp["gate_proj"], h) + tap["gate_proj"]
     u = apply_linear(lp["up_proj"], h) + tap["up_proj"]
-    x = x + apply_linear(lp["down_proj"], jax.nn.silu(g) * u) + tap["down_proj"]
+    m = apply_linear(lp["down_proj"], _act(cfg, g) * u) + tap["down_proj"]
+    if cfg.sandwich_norms:
+        m = _norm(cfg, m, lp["post_mlp_norm"])
+    x = x + m
     return x
 
 

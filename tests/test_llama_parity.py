@@ -126,3 +126,34 @@ def test_qwen3_engine_decode():
     ref = model.generate(__import__("torch").from_numpy(prompt.astype(np.int64)),
                          max_new_tokens=8, do_sample=False)[0].numpy()
     np.testing.assert_array_equal(out[0], ref)
+
+
+def _tiny_gemma3(layer_types=("sliding_attention", "full_attention")):
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+    torch.manual_seed(0)
+    model = Gemma3ForCausalLM(Gemma3TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, sliding_window=8,
+        layer_types=list(layer_types), attn_implementation="eager"))
+    model.eval()
+    return model
+
+
+def test_gemma3_logits_match_hf():
+    torch = pytest.importorskip("torch")
+    model = _tiny_gemma3()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    assert cfg.sandwich_norms and cfg.norm_plus_one and cfg.embed_scale
+    assert cfg.layer_types == ("sliding", "global")
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 128, size=(1, 20), dtype=np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)
+    # unrolled path agrees too
+    ours2 = np.asarray(llama.forward_unrolled(params, cfg,
+                                              jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours2, ref, atol=5e-3, rtol=5e-3)
