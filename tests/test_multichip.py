@@ -1,0 +1,68 @@
+"""Multi-chip sharding correctness on the virtual 8-device CPU mesh:
+tp/dp-sharded decode must reproduce single-device logits, including at
+real 70B-geometry dimensions (the divisibility/layout proof for the
+multi-host target)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from guidedquant_tpu.models import llama, get_config
+from guidedquant_tpu.parallel import make_mesh, sharding
+from guidedquant_tpu.serve import engine
+
+
+def _decode_logits(params, cfg, prompt, mesh=None, kv_sharding=None):
+    state = engine.init_state(cfg, cfg.num_layers, 1, 16,
+                              dtype=jnp.float32, sharding=kv_sharding)
+    logits, state = engine.prefill(params, cfg, jnp.asarray(prompt), state)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    logits2, _ = engine.decode_step(params, cfg, tok, state)
+    return np.asarray(logits, np.float32), np.asarray(logits2, np.float32)
+
+
+def test_tp_sharded_decode_matches_unsharded():
+    cfg = get_config("tiny").replace(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=8, num_kv_heads=8, max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = np.array([[5, 9, 3, 77]], dtype=np.int32)
+    ref1, ref2 = _decode_logits(params, cfg, prompt)
+
+    mesh = make_mesh(8, shape={"dp": 1, "fsdp": 2, "tp": 4})
+    specs = sharding.dense_param_specs(cfg)
+    sp = sharding.shard_params(mesh, params, specs)
+    kv_shard = NamedSharding(mesh, sharding.kv_cache_spec())
+    with mesh:
+        got1, got2 = _decode_logits(sp, cfg, prompt, mesh, kv_shard)
+    np.testing.assert_allclose(got1, ref1, atol=2e-4)
+    np.testing.assert_allclose(got2, ref2, atol=2e-4)
+
+
+def test_70b_geometry_sharded_step():
+    """Real Llama-3.1-70B per-layer dimensions (d=8192, f=28672, 64 q /
+    8 kv heads) divide cleanly over tp=8 and run a sharded fwd+bwd step."""
+    cfg = get_config("llama-3.1-70b").replace(
+        num_layers=1, vocab_size=512, max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1),
+                               dtype=jnp.float32)
+    mesh = make_mesh(8, shape={"dp": 1, "fsdp": 1, "tp": 8})
+    specs = sharding.dense_param_specs(cfg)
+    sp = sharding.shard_params(mesh, params, specs)
+    tokens = jax.device_put(
+        np.tile(np.arange(16, dtype=np.int32)[None], (2, 1)),
+        NamedSharding(mesh, P("dp", None)))
+    with mesh:
+        loss, grads = jax.jit(
+            lambda p, t: sharding.train_step(p, cfg, t))(sp, tokens)
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
+    # tp-sharded decode runs too
+    prompt = np.array([[1, 2, 3]], dtype=np.int32)
+    kv_shard = NamedSharding(mesh, sharding.kv_cache_spec())
+    with mesh:
+        l1, l2 = _decode_logits(sp, cfg, prompt, mesh, kv_shard)
+    assert np.isfinite(l1).all() and np.isfinite(l2).all()
