@@ -34,24 +34,31 @@ logger = logging.getLogger(__name__)
 SALIENCY_SCALE = 1e3  # reference gradients.py:106
 
 
-def _loss_fn(params, taps, cfg: ModelConfig, tokens):
-    logits = llama.forward_unrolled(params, cfg, tokens, taps=taps)
+def _loss_fn(params, taps, cfg: ModelConfig, tokens, tap_range):
+    logits = llama.forward_unrolled(params, cfg, tokens, taps=taps,
+                                    tap_range=tap_range)
     return llama.cross_entropy_loss(logits, tokens)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_groups"))
+@partial(jax.jit, static_argnames=("cfg", "num_groups", "tap_range"))
 def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
-                  num_groups: int):
+                  num_groups: int, tap_range=None):
     """One calibration sequence batch -> (squared weight grads, saliency).
 
     tokens: [B, S]. Returns:
       gsq:      {module: [L, out, in]} squared weight gradients (f32)
-      saliency: {module: [B, S, G] summed over layers? no — [L, B, S, G]}
+      saliency: {module: [L_tapped, B, S, G]}
+
+    ``tap_range``: optional (lo, hi) — taps (and thus saliency memory) only
+    for layers in the range (the reference's ``sub_saliency`` job-splitting
+    flag, gradients.py:116-121).
     """
     L = llama.num_layers_of(params)
     B, S = tokens.shape
-    taps = llama.make_taps(cfg, L, B, S)
-    wgrads, tgrads = jax.grad(_loss_fn, argnums=(0, 1))(params, taps, cfg, tokens)
+    lo, hi = tap_range or (0, L)
+    taps = llama.make_taps(cfg, hi - lo, B, S)
+    wgrads, tgrads = jax.grad(_loss_fn, argnums=(0, 1))(
+        params, taps, cfg, tokens, tap_range or (0, L))
 
     proj = {m: wgrads["layers"][m] for m in llama.MODULE_NAMES}
     gsq = jax.tree_util.tree_map(lambda g: (g.astype(jnp.float32)) ** 2, proj)
@@ -70,6 +77,7 @@ def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
 def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
                   num_groups: int = 1, batch_size: int = 1,
                   compute_saliency: bool = True, mesh=None,
+                  sub_saliency: Optional[Tuple[int, int]] = None,
                   ) -> Tuple[List[Dict[str, np.ndarray]],
                              Optional[List[Dict[str, np.ndarray]]]]:
     """Full calibration sweep (reference get_gradients driver loop,
@@ -105,7 +113,9 @@ def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
         batch = jnp.asarray(tokens[start:start + batch_size])
         if tok_sharding is not None and batch.shape[0] > 1:
             batch = jax.device_put(batch, tok_sharding)
-        gsq, sal = gradient_step(params, cfg, batch, num_groups)
+        tap_range = tuple(sub_saliency) if sub_saliency else None
+        gsq, sal = gradient_step(params, cfg, batch, num_groups,
+                                 tap_range=tap_range)
         if acc_gsq is None:
             acc_gsq = gsq
         else:
@@ -120,12 +130,17 @@ def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
 
     saliency = None
     if compute_saliency:
+        lo, hi = sub_saliency or (0, L)
         saliency = []
         for l in range(L):
+            if not (lo <= l < hi):
+                saliency.append(None)
+                continue
             layer = {}
             for m in llama.MODULE_NAMES:
-                # [L, B, S, G] chunks -> concat over batch dim -> [N, S, G]
-                layer[m] = np.concatenate([c[m][l] for c in sal_chunks], axis=0)
+                # [L_tapped, B, S, G] chunks -> concat batch -> [N, S, G]
+                layer[m] = np.concatenate(
+                    [c[m][l - lo] for c in sal_chunks], axis=0)
             saliency.append(layer)
     return gradients, saliency
 

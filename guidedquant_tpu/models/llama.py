@@ -344,7 +344,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 def forward_unrolled(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                      positions: Optional[jnp.ndarray] = None,
-                     taps: Optional[Params] = None) -> jnp.ndarray:
+                     taps: Optional[Params] = None,
+                     tap_range: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Python-loop forward (one trace per layer).
 
     Used by calibration: if ``taps`` is given (pytree of zeros shaped like the
@@ -360,14 +361,15 @@ def forward_unrolled(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     cos, sin, mask, stacked = layer_rope_mask(cfg, positions, S, S)
     x = embed_tokens(params, tokens, cfg)
     L = num_layers_of(params)
+    lo, hi = tap_range or (0, L)
     for i in range(L):
         lp = layer_slice(params["layers"], i)
         c, s_, mk = (cos[i], sin[i], mask[i]) if stacked else (cos, sin, mask)
-        if taps is None:
+        if taps is None or not (lo <= i < hi):
             x, _ = decoder_layer(lp, cfg, x, c, s_, mk)
         else:
             x = _decoder_layer_tapped(lp, cfg, x, c, s_, mk,
-                                      layer_slice(taps, i))
+                                      layer_slice(taps, i - lo))
     return unembed(params, cfg, x)
 
 

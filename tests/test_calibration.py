@@ -140,3 +140,18 @@ def test_regroup_saliency():
     r = regroup_saliency(x, 3)
     assert r.shape == (1, 2, 3)
     np.testing.assert_allclose(r[0, 0, 0], x[0, 0, :4].mean())
+
+
+def test_sub_saliency_range_matches_full(tiny):
+    """sub_saliency=(1,2) must reproduce the full run's layer-1 saliency
+    (and the weight grads are unaffected)."""
+    model, cfg, params, tokens = tiny
+    g_full, s_full = get_gradients(params, cfg, tokens, num_groups=2)
+    g_sub, s_sub = get_gradients(params, cfg, tokens, num_groups=2,
+                                 sub_saliency=(1, 2))
+    assert s_sub[0] is None and s_sub[1] is not None
+    for m in MODULES_HF:
+        np.testing.assert_allclose(s_sub[1][m], s_full[1][m],
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(g_sub[0][m], g_full[0][m],
+                                   rtol=1e-4, atol=1e-10)
