@@ -25,7 +25,8 @@ def test_ledger_merge_and_sort(tmp_path):
 
 def test_cli_imports():
     import importlib.util
-    for mod in ("quantize", "layerwise_nuq", "run_eval", "inference_example"):
+    for mod in ("quantize", "layerwise_nuq", "run_eval",
+                "inference_example", "qtip_quantize", "spinquant_ptq"):
         spec = importlib.util.spec_from_file_location(mod, f"{mod}.py")
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
