@@ -26,7 +26,8 @@ def test_ledger_merge_and_sort(tmp_path):
 def test_cli_imports():
     import importlib.util
     for mod in ("quantize", "layerwise_nuq", "run_eval",
-                "inference_example", "qtip_quantize", "spinquant_ptq"):
+                "inference_example", "qtip_quantize", "spinquant_ptq",
+                "full_nuq"):
         spec = importlib.util.spec_from_file_location(mod, f"{mod}.py")
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
