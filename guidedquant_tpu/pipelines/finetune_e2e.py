@@ -135,6 +135,31 @@ def kd_step(train_state, opt_state, static_params, teacher_params,
 
 
 # ---------------------------------------------------------------------------
+# Training-state checkpointing (reference save/load_training_state,
+# full_main.py:464-515 — preemptible-compute resume)
+# ---------------------------------------------------------------------------
+
+def save_training_state(path: str, train_state, opt_state, step: int) -> None:
+    import os
+    from ..utils import cache as cache_util
+    flat, treedef = jax.tree_util.tree_flatten((train_state, opt_state))
+    arrays = {f"leaf{i}": np.asarray(x) for i, x in enumerate(flat)}
+    arrays["step"] = np.asarray(step)
+    cache_util.save_npz_dict(path, arrays)
+
+
+def load_training_state(path: str, train_state_like, opt_state_like):
+    """-> (train_state, opt_state, step) restored into the given structure."""
+    from ..utils import cache as cache_util
+    z = cache_util.load_npz_dict(path)
+    flat_like, treedef = jax.tree_util.tree_flatten(
+        (train_state_like, opt_state_like))
+    flat = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(flat_like))]
+    ts, os_ = jax.tree_util.tree_unflatten(treedef, flat)
+    return ts, os_, int(z["step"])
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -142,7 +167,9 @@ def full_nuq_finetune(packed_params, cfg: ModelConfig, teacher_params,
                       tokens: np.ndarray, bits: int,
                       steps: int = 100, batch_size: int = 1,
                       lr: float = 1e-4, code_update_every: int = 1,
-                      mesh=None, dp_axis: str = "dp"):
+                      mesh=None, dp_axis: str = "dp",
+                      checkpoint_path: str = None,
+                      save_every: int = 0):
     """Finetune a packed student against an FP teacher.
 
     Returns (new_codes {module: [L,N,K] uint8}, new_luts {module: [L,N,C]},
@@ -161,12 +188,20 @@ def full_nuq_finetune(packed_params, cfg: ModelConfig, teacher_params,
     optimizer = optax.adamw(lr)
     opt_state = optimizer.init(train_state)
 
+    start_step = 0
+    if checkpoint_path is not None:
+        import os
+        if os.path.exists(checkpoint_path):
+            train_state, opt_state, start_step = load_training_state(
+                checkpoint_path, train_state, opt_state)
+            logger.info("resumed finetune from step %d", start_step)
+
     step_fn = jax.jit(partial(kd_step, optimizer=optimizer),
                       static_argnames=("cfg",))
 
     N = tokens.shape[0]
     history = []
-    for step in range(steps):
+    for step in range(start_step, steps):
         idx = (step * batch_size) % max(N - batch_size + 1, 1)
         batch = jnp.asarray(tokens[idx:idx + batch_size])
         loss, train_state, opt_state = step_fn(
@@ -175,6 +210,10 @@ def full_nuq_finetune(packed_params, cfg: ModelConfig, teacher_params,
         history.append(float(loss))
         if step % 10 == 0:
             logger.info("full_nuq step %d: KL %.5f", step, float(loss))
+        if checkpoint_path is not None and save_every and \
+                (step + 1) % save_every == 0:
+            save_training_state(checkpoint_path, train_state, opt_state,
+                                step + 1)
 
     # final hard code re-selection + writeback
     new_codes, new_luts = {}, {}

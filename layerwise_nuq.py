@@ -23,6 +23,9 @@ def main():
     p.add_argument("--cd_cycles", type=int, default=4)
     p.add_argument("--sub_qlayer", type=int, nargs=2, default=None)
     p.add_argument("--is_nosal", action="store_true")
+    p.add_argument("--shared_shape_tile", type=int, default=None,
+                   help="snap codebooks to the row-tile-shared-shape family "
+                        "(enables the fast scalar-coefficient decode kernel)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -35,7 +38,8 @@ def main():
         seq_len=args.seq_len, num_examples=args.num_examples,
         num_groups=args.num_groups, num_iterations=args.num_iterations,
         cd_cycles=args.cd_cycles, sub_qlayer=args.sub_qlayer,
-        is_nosal=args.is_nosal, tokenizer=tokenizer)
+        is_nosal=args.is_nosal, shared_shape_tile=args.shared_shape_tile,
+        tokenizer=tokenizer)
     print(out)
 
 

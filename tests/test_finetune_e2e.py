@@ -69,3 +69,19 @@ def test_full_nuq_kd_descends_and_repacks(packed_setup):
     assert np.isfinite(ppl_after)
     # KD on the calibration distribution shouldn't blow up held-out ppl
     assert ppl_after < ppl_before * 1.5
+
+
+def test_finetune_checkpoint_resume(packed_setup, tmp_path):
+    cfg, teacher, qcfg, qparams, tokens = packed_setup
+    ckpt = str(tmp_path / "ft.npz")
+    # run 10 steps with checkpointing every 5
+    c1, l1, h1 = full_nuq_finetune(qparams, qcfg, teacher, tokens, bits=2,
+                                   steps=10, lr=3e-3,
+                                   checkpoint_path=ckpt, save_every=5)
+    import os
+    assert os.path.exists(ckpt)
+    # resuming continues from step 10 (checkpoint) and runs 5 more
+    c2, l2, h2 = full_nuq_finetune(qparams, qcfg, teacher, tokens, bits=2,
+                                   steps=15, lr=3e-3,
+                                   checkpoint_path=ckpt, save_every=5)
+    assert len(h2) == 5  # only steps 10..14 executed
