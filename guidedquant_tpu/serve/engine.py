@@ -77,7 +77,7 @@ def _attend(cfg: ModelConfig, q, k_all, v_all, t_mask):
     qg = q.reshape(B, S, KV, G, Dh)
     scores = jnp.einsum("bskgd,btkd->bkgst", qg, k_all,
                         preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(Dh).astype(jnp.float32) + t_mask
+    scores = scores * llama._attn_scale(cfg) + t_mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bkgst,btkd->bskgd", probs, v_all)
     return ctx.reshape(B, S, H * Dh)
@@ -94,7 +94,7 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    h = llama._norm(cfg, x, lp["attn_norm"])
     if "qkv_proj" in lp:  # fused QKV (reference inference/model.py:175-181)
         qkv = apply_linear(lp["qkv_proj"], h)
         q = qkv[..., :cfg.q_dim].reshape(B, S, H, Dh)
@@ -105,8 +105,8 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
         k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
         v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
     if cfg.qk_norm:
-        q = llama.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = llama.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = llama._norm(cfg, q, lp["q_norm"])
+        k = llama._norm(cfg, k, lp["k_norm"])
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
 
@@ -138,8 +138,11 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
         new_kv = (k_cache, v_cache)
 
     ctx = _attend(cfg, q, k_all, v_all, t_mask)
-    x = x + apply_linear(lp["o_proj"], ctx)
-    h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    attn_out = apply_linear(lp["o_proj"], ctx)
+    if cfg.sandwich_norms:
+        attn_out = llama._norm(cfg, attn_out, lp["post_attn_norm"])
+    x = x + attn_out
+    h = llama._norm(cfg, x, lp["mlp_norm"])
     if "gate_up_proj" in lp:  # fused Up/Gate (reference model.py:248-266)
         gu = apply_linear(lp["gate_up_proj"], h)
         f = cfg.intermediate_size
@@ -147,7 +150,10 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
     else:
         g = apply_linear(lp["gate_proj"], h)
         u = apply_linear(lp["up_proj"], h)
-    x = x + apply_linear(lp["down_proj"], jax.nn.silu(g) * u)
+    m = apply_linear(lp["down_proj"], llama._act(cfg, g) * u)
+    if cfg.sandwich_norms:
+        m = llama._norm(cfg, m, lp["post_mlp_norm"])
+    x = x + m
     return x, new_kv
 
 
@@ -158,22 +164,47 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
     S_max = state.k.shape[2]
     cos, sin = llama.rope_cos_sin(cfg, positions)
     compute_dtype = state.k.dtype if state.kv_bits >= 16 else jnp.bfloat16
-    x = llama.embed_tokens(params, tokens).astype(compute_dtype)
+    x = llama.embed_tokens(params, tokens, cfg).astype(compute_dtype)
 
     # additive mask over cache timeline: query i (global pos p_i) sees t <= p_i
     t_ids = jnp.arange(S_max)[None, :]
     t_mask = jnp.where(t_ids <= positions[0][:, None], 0.0, -1e30)  # [S, T]
 
     quant = state.kv_bits < 16
+    per_layer = bool(cfg.layer_types)
+    if per_layer:
+        # Gemma3: local-theta rope + sliding mask on 'sliding' layers
+        local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
+                                rope_scaling=None)
+        cos_l, sin_l = llama.rope_cos_sin(local_cfg, positions)
+        sliding_mask = jnp.where(
+            (t_ids <= positions[0][:, None]) &
+            (t_ids > positions[0][:, None] - cfg.sliding_window),
+            0.0, -1e30)
+        is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
+        cos_st = jnp.where(is_global[:, None, None, None], cos[None],
+                           cos_l[None])
+        sin_st = jnp.where(is_global[:, None, None, None], sin[None],
+                           sin_l[None])
+        mask_st = jnp.where(is_global[:, None, None], t_mask[None],
+                            sliding_mask[None])
 
     def body(carry, xs):
         x = carry
-        lp, kv_l = xs[0], xs[1:]
-        x, new_kv = _layer_step(lp, cfg, x, cos, sin, kv_l, state.pos,
-                                t_mask, kv_bits=state.kv_bits, r3=state.r3)
+        if per_layer:
+            lp, c_, s_, mk = xs[0], xs[1], xs[2], xs[3]
+            kv_l = xs[4:]
+        else:
+            lp, kv_l = xs[0], xs[1:]
+            c_, s_, mk = cos, sin, t_mask
+        x, new_kv = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
+                                mk, kv_bits=state.kv_bits, r3=state.r3)
         return x, new_kv
 
-    xs = (params["layers"], state.k, state.v)
+    xs = (params["layers"],)
+    if per_layer:
+        xs = xs + (cos_st, sin_st, mask_st)
+    xs = xs + (state.k, state.v)
     if quant:
         xs = xs + (state.k_scale, state.v_scale)
     x, new_kv = jax.lax.scan(body, x, xs)

@@ -157,3 +157,16 @@ def test_gemma3_logits_match_hf():
     ours2 = np.asarray(llama.forward_unrolled(params, cfg,
                                               jnp.asarray(tokens)))
     np.testing.assert_allclose(ours2, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_gemma3_engine_decode_matches_hf():
+    torch = pytest.importorskip("torch")
+    from guidedquant_tpu.serve import engine
+    model = _tiny_gemma3()
+    cfg, params = load_hf_model(model, dtype=jnp.float32)
+    prompt = np.array([[5, 9, 3, 22]], dtype=np.int32)
+    out, _ = engine.generate(params, cfg, prompt, 10, kv_dtype=jnp.float32,
+                             max_seq=32)
+    ref = model.generate(__import__("torch").from_numpy(prompt.astype(np.int64)),
+                         max_new_tokens=10, do_sample=False)[0].numpy()
+    np.testing.assert_array_equal(out[0], ref)
