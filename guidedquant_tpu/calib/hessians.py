@@ -82,7 +82,7 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
                         saliency: List[Dict[str, np.ndarray]],
                         num_groups: int = 1, batch_size: int = 4,
                         layer_range: Optional[tuple] = None,
-                        on_layer_done=None,
+                        on_layer_done=None, mesh=None,
                         ) -> List[Dict[str, np.ndarray]]:
     """Sequential layer-by-layer sweep (reference activations.py:393-584).
 
@@ -98,6 +98,17 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
     N, S = tokens.shape
     L = cfg.num_layers
     lo, hi = layer_range or (0, L)
+
+    tok_sharding = None
+    if mesh is not None:
+        # dp-shard the token batch; the XTX contraction's unsharded output
+        # makes GSPMD insert the cross-device psum (the reference's
+        # replicate + merge on device 0, activations.py:334-387)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import sharding as shard_mod
+        params = shard_mod.shard_params(
+            mesh, params, shard_mod.dense_param_specs(cfg))
+        tok_sharding = NamedSharding(mesh, P("dp", None, None))
 
     # Current activations for the whole calibration set, in host memory
     # (the reference offloads to CPU the same way, activations.py:74-107).
@@ -123,6 +134,8 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
         for bi, start in enumerate(range(0, N, batch_size)):
             stop = min(start + batch_size, N)
             x = jnp.asarray(acts[bi])
+            if tok_sharding is not None and x.shape[0] > 1:
+                x = jax.device_put(x, tok_sharding)
             cos, sin = (jnp.asarray(meta[bi][0]), jnp.asarray(meta[bi][1]))
             if want:
                 sal_b = {m: jnp.asarray(v[start:stop])

@@ -38,3 +38,21 @@ def test_dp_sharded_gradients_match(setup):
                                        g_ref[l][m] / scale, atol=1e-4)
             np.testing.assert_allclose(s_sh[l][m], s_ref[l][m],
                                        rtol=1e-3, atol=1e-5)
+
+
+def test_dp_sharded_hessians_match(setup):
+    from guidedquant_tpu.calib.gradients import get_gradients
+    from guidedquant_tpu.calib.hessians import accumulate_hessians
+    cfg, params, tokens = setup
+    _, sal = get_gradients(params, cfg, tokens, num_groups=2)
+    ref = accumulate_hessians(params, cfg, tokens, sal, num_groups=2,
+                              batch_size=2)
+    mesh = make_mesh(8, shape={"dp": 2, "fsdp": 2, "tp": 2})
+    with mesh:
+        got = accumulate_hessians(params, cfg, tokens, sal, num_groups=2,
+                                  batch_size=2, mesh=mesh)
+    for l in range(cfg.num_layers):
+        for m in ref[l]:
+            scale = np.abs(ref[l][m]).max() + 1e-9
+            np.testing.assert_allclose(got[l][m] / scale, ref[l][m] / scale,
+                                       atol=2e-4)
