@@ -22,7 +22,6 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..models import llama
 from ..models.config import ModelConfig
 from ..nn.linear import AnyPrecLinear
 from ..ops.pack import pack_bitplanes

@@ -12,7 +12,7 @@ Weights stay in HF's (out_features, in_features) orientation, which is the
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax.numpy as jnp

@@ -19,15 +19,13 @@ Design:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .config import ModelConfig, RopeScaling
+from .config import ModelConfig
 from ..nn.linear import apply_linear
 
 Params = Dict[str, Any]

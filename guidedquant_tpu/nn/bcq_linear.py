@@ -6,7 +6,6 @@ per-row scales + packed sign planes + row bias.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import struct

@@ -19,10 +19,9 @@ Decode paths:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from flax import struct
 

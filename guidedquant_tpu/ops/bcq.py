@@ -13,7 +13,7 @@ least-squares for alpha given signs; re-signing given alpha). Signs pack
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

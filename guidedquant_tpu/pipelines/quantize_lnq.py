@@ -11,13 +11,12 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ..calib import data as data_util
 from ..calib.hessians import accumulate_hessians
-from ..formats import anyprec
 from ..models.config import ModelConfig
 from ..solvers.lnq import train_least_squares
 from ..utils import cache as cache_util

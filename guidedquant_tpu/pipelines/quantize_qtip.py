@@ -10,11 +10,9 @@ Cache-keyed and layer-resumable like the reference's ``check_exist`` skips.
 from __future__ import annotations
 
 import logging
-import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..calib import data as data_util
 from ..formats import qtip_format

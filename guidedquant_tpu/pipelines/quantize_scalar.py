@@ -10,14 +10,12 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..calib import data as data_util
 from ..calib.gradients import get_gradients
-from ..models import llama
 from ..models.config import ModelConfig
 from ..formats import anyprec
 from ..solvers.seed import seed_and_upscale_layer

@@ -18,11 +18,9 @@ import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..calib import data as data_util
-from ..calib.hessians import accumulate_hessians
 from ..models.config import ModelConfig
 from ..nn.act_quant import ActQuantLinear
 from ..ops.hadamard import hadamard_matrix

@@ -17,10 +17,9 @@ Design notes:
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax

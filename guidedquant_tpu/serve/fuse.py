@@ -15,7 +15,7 @@ gate (generate.py load_model).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -19,8 +19,7 @@ expectation).
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

@@ -16,15 +16,15 @@ Analog of the reference's ``quantize_finetune_decoder_layer`` core
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
 
-from ...nn.trellis import TrellisLinear, dense_to_tiles, tiles_to_dense
-from ...ops.hadamard import matmul_hadU, matmul_hadUt
+from ...nn.trellis import TrellisLinear
+from ...ops.hadamard import matmul_hadUt
 from .codebook import BitshiftCodebook
-from .ldlq import block_LDL, ldlq, regularize_H, proxy_error
+from .ldlq import block_LDL, ldlq, regularize_H
 
 logger = logging.getLogger(__name__)
 

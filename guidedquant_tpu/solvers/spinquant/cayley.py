@@ -14,7 +14,6 @@ re-orthonormalization guards drift.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -14,7 +14,7 @@ Host numpy implementation (offline solver; column recursion is sequential).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

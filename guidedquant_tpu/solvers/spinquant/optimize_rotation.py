@@ -23,7 +23,7 @@ from ...models import llama
 from ...models.config import ModelConfig
 from .cayley import init as cayley_init, update as cayley_update, \
     orthogonality_error
-from .quant import sym_quant_dequant, act_fake_quant, ActQuantConfig
+from .quant import sym_quant_dequant, ActQuantConfig
 
 logger = logging.getLogger(__name__)
 

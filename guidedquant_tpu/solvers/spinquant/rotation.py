@@ -16,7 +16,7 @@ R3:          online q/k rotation inside attention (KV-cache quant; engine).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import jax
