@@ -56,21 +56,34 @@ def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
     L = llama.num_layers_of(params)
     B, S = tokens.shape
     lo, hi = tap_range or (0, L)
-    taps = llama.make_taps(cfg, hi - lo, B, S)
-    wgrads, tgrads = jax.grad(_loss_fn, argnums=(0, 1))(
-        params, taps, cfg, tokens, tap_range or (0, L))
 
-    proj = {m: wgrads["layers"][m] for m in llama.MODULE_NAMES}
-    gsq = jax.tree_util.tree_map(lambda g: (g.astype(jnp.float32)) ** 2, proj)
+    # Per-SEQUENCE backwards (vmap over the batch): the reference's
+    # square_grad_hook squares each sequence's weight gradient before
+    # accumulating (sum_n g_n^2), which a single batched backward cannot
+    # recover — (mean_n g_n)^2 != sum_n g_n^2 for B > 1. vmap keeps the
+    # statistic exact at any batch size (incl. the dp-sharded mesh path).
+    def per_seq(tok):
+        taps = llama.make_taps(cfg, hi - lo, 1, S)
+        wg, tg = jax.grad(_loss_fn, argnums=(0, 1))(
+            params, taps, cfg, tok[None], tap_range or (0, L))
+        proj = {m: wg["layers"][m] for m in llama.MODULE_NAMES}
+        gsq1 = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32) ** 2, proj)
+        sal1 = {m: tg[m][:, 0] for m in llama.MODULE_NAMES}  # [Lt, S, out]
+        return gsq1, sal1
+
+    gsq_b, sal_b = jax.vmap(per_seq)(tokens)
+    gsq = jax.tree_util.tree_map(lambda g: g.sum(axis=0), gsq_b)
 
     def group_sal(g):
-        # g: [L, B, S, out] -> [L, B, S, G]
+        # g: [B, Lt, S, out] -> [Lt, B, S, G]
         out = g.shape[-1]
         gs = out // num_groups
         g = (g.astype(jnp.float32) * SALIENCY_SCALE) ** 2
-        return g.reshape(*g.shape[:-1], num_groups, gs).mean(axis=-1)
+        g = g.reshape(*g.shape[:-1], num_groups, gs).mean(axis=-1)
+        return jnp.moveaxis(g, 0, 1)
 
-    saliency = {m: group_sal(tgrads[m]) for m in llama.MODULE_NAMES}
+    saliency = {m: group_sal(sal_b[m]) for m in llama.MODULE_NAMES}
     return gsq, saliency
 
 

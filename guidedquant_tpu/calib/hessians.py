@@ -70,11 +70,13 @@ def _plain_layer_step(lp, cfg: ModelConfig, x, cos, sin, mask):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def embed_step(params, cfg: ModelConfig, tokens):
+    """Embedding + per-layer rope/mask. For cfg.layer_types models (Gemma3)
+    cos/sin/mask come back stacked [L, ...] (global vs sliding per layer)
+    and embed_tokens applies the sqrt(d) scale — matching forward_unrolled."""
     B, S = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-    cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, tokens)
-    mask = llama.causal_mask(S, S)
+    cos, sin, mask, _ = llama.layer_rope_mask(cfg, positions, S, S)
+    x = llama.embed_tokens(params, tokens, cfg)
     return x, cos, sin, mask
 
 
@@ -112,15 +114,16 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
 
     # Current activations for the whole calibration set, in host memory
     # (the reference offloads to CPU the same way, activations.py:74-107).
+    # meta holds per-batch (cos, sin, mask); stacked [L, ...] for
+    # cfg.layer_types models, shared otherwise.
+    per_layer_rope = bool(cfg.layer_types)
     acts: List[np.ndarray] = []
     meta = []
     for start in range(0, N, batch_size):
         batch = jnp.asarray(tokens[start:start + batch_size])
         x, cos, sin, mask = embed_step(params, cfg, batch)
         acts.append(np.asarray(x))
-        meta.append((np.asarray(cos), np.asarray(sin)))
-    mask_np = None  # recomputed per batch inside the step via closure args
-    _, _, _, mask_j = embed_step(params, cfg, jnp.asarray(tokens[:1]))
+        meta.append((np.asarray(cos), np.asarray(sin), np.asarray(mask)))
 
     results: List[Dict[str, np.ndarray]] = []
     for l in range(L):
@@ -136,7 +139,11 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
             x = jnp.asarray(acts[bi])
             if tok_sharding is not None and x.shape[0] > 1:
                 x = jax.device_put(x, tok_sharding)
-            cos, sin = (jnp.asarray(meta[bi][0]), jnp.asarray(meta[bi][1]))
+            cos_b, sin_b, mask_b = meta[bi]
+            if per_layer_rope:
+                cos_b, sin_b, mask_b = cos_b[l], sin_b[l], mask_b[l]
+            cos, sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
+            mask_j = jnp.asarray(mask_b)
             if want:
                 sal_b = {m: jnp.asarray(v[start:stop])
                          for m, v in sal_layer.items()}

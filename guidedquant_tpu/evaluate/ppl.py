@@ -42,33 +42,38 @@ def evaluate_ppl_layerwise(params, cfg: ModelConfig, token_stream: np.ndarray,
     layer's weights need be resident at a time, so huge models evaluate on
     small hosts. Numerically identical to evaluate_ppl.
     """
-    from ..models.llama import (layer_slice, decoder_layer, rope_cos_sin,
-                                causal_mask, embed_tokens, unembed)
+    from ..models.llama import (layer_slice, decoder_layer, layer_rope_mask,
+                                embed_tokens, unembed)
 
     stream = np.asarray(token_stream).reshape(-1)
     n_chunks = len(stream) // ctx_len
     assert n_chunks > 0
     chunks = stream[:n_chunks * ctx_len].reshape(n_chunks, ctx_len)
 
-    embed_fn = jax.jit(lambda p, t: embed_tokens(p, t), static_argnums=())
+    # cfg-aware embedding (Gemma3 sqrt(d) scale) + per-layer rope/mask for
+    # mixed global/sliding models — keeps this numerically identical to
+    # evaluate_ppl for every registered architecture.
+    embed_fn = jax.jit(lambda p, t: embed_tokens(p, t, cfg))
     acts = []
     for s in range(0, n_chunks, batch_size):
         acts.append(np.asarray(embed_fn(
             {"embed": params["embed"]}, jnp.asarray(chunks[s:s + batch_size]))))
 
     pos = jnp.arange(ctx_len)[None, :]
-    cos, sin = rope_cos_sin(cfg, pos)
-    mask = causal_mask(ctx_len, ctx_len)
+    cos_a, sin_a, mask_a, stacked = layer_rope_mask(cfg, pos, ctx_len, ctx_len)
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def layer_fn(lp, cfg, x):
+    def layer_fn(lp, cfg, x, cos, sin, mask):
         return decoder_layer(lp, cfg, x, cos, sin, mask)[0]
 
     L = cfg.num_layers
     for l in range(L):
         lp = layer_slice(params["layers"], l)
+        cos, sin, mask = ((cos_a[l], sin_a[l], mask_a[l]) if stacked
+                          else (cos_a, sin_a, mask_a))
         for i in range(len(acts)):
-            acts[i] = np.asarray(layer_fn(lp, cfg, jnp.asarray(acts[i])))
+            acts[i] = np.asarray(layer_fn(lp, cfg, jnp.asarray(acts[i]),
+                                          cos, sin, mask))
         if verbose:
             logger.info("layerwise ppl: layer %d/%d", l + 1, L)
 

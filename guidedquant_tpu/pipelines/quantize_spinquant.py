@@ -94,10 +94,15 @@ def spinquant_ptq(
                                              seed=rotation_seed + 1 + l)
                            for l in range(cfg.num_layers)])
         params = rotate_model(params, qcfg, R1, R2)
-        params = apply_r4_to_down(params, qcfg)
 
-    # 3) Hessians on the rotated model (guided or unweighted)
-    rtag = "_rot" if rotate else ""
+    # 3) Hessians on the R1/R2-rotated model (guided or unweighted).
+    # R4 is NOT yet folded here: the dense forward used by the Hessian stage
+    # applies no online Hadamard before down_proj, so folding R4 first would
+    # corrupt the residual stream (x @ Hm^T @ W^T != x @ W^T). down_proj's
+    # Hessian is mapped into the folded basis in closed form afterwards
+    # (_transform_down_hessian), matching the reference which captures
+    # inputs pre-Hadamard (spin_quant/eval_utils/gptq_guided_utils.py:49-78).
+    rtag = "_rotpre4" if rotate else ""  # pre-R4 capture (cache-key bump)
     hessians_path = (f"{cache_dir}/hessians/{key}_g{G}"
                      f"{'' if guided else '_nosal'}{rtag}_sq")
     if not use_rtn:
@@ -117,6 +122,11 @@ def spinquant_ptq(
         run_hessians_stage(params, qcfg, tokens, sal_src, hessians_path,
                            G, is_nosal=False,
                            batch_size=hessian_batch_size)
+
+    # 3.5) now fold the exact R4 Hadamard into down_proj; quantization below
+    # sees the folded weight + basis-transformed Hessian.
+    if rotate:
+        params = apply_r4_to_down(params, qcfg)
 
     # 4) GPTQ (or RTN) per layer
     wq = WeightQuantConfig(bits=w_bits, perchannel=True, sym=not w_asym,

@@ -5,8 +5,10 @@ Re-design of the reference's ``GPTQ.fasterquant`` / ``GPTQGuided.fasterquant``
 column-blocked error-feedback rounding against the (per-row-group) inverse
 Cholesky Hessian. The guided variant partitions output rows into G groups,
 each with its own input Hessian H[g] (saliency-weighted, from the shared
-calibration stage); per-column scales are computed over the *full* weight
-and sliced per row group, exactly like the reference.
+calibration stage). Per-channel scales come from the full weight (sliced
+per row group); with groupsize > 0, group scales are refit from the
+permuted, error-compensated working weight as each group starts, exactly
+like the reference.
 
 Host numpy implementation (offline solver; column recursion is sequential).
 """
@@ -91,10 +93,19 @@ def gptq_quantize(W: np.ndarray, H: np.ndarray, cfg: WeightQuantConfig,
                 w = W1[:, i]
                 d = Hinv1[i, i]
                 if groupsize != -1 and (i1 + i) % groupsize == 0:
+                    # group scales from the CURRENT working weight (post
+                    # actorder permutation + error feedback), matching the
+                    # reference which calls find_params on the permuted
+                    # working W (gptq_utils.py fasterquant)
                     col = i1 + i
-                    gs_scale, gs_zero = weight_find_params(
-                        W[:, col:col + groupsize], cfg)
-                    scale = gs_scale[rs:re]
+                    end = min(col + groupsize, n)
+                    if end <= i2:
+                        Wgrp = W1[:, i:i + (end - col)]
+                    else:
+                        Wgrp = np.concatenate(
+                            [W1[:, i:], Wsub[:, i2:end]], axis=1)
+                    gs_scale, gs_zero = weight_find_params(Wgrp, cfg)
+                    scale = gs_scale
                 q_int = np.clip(np.round(w[:, None] / scale), -(maxq + 1),
                                 maxq)
                 q = (scale * q_int)[:, 0]

@@ -23,7 +23,7 @@ from ...models import llama
 from ...models.config import ModelConfig
 from .cayley import init as cayley_init, update as cayley_update, \
     orthogonality_error
-from .quant import sym_quant_dequant, ActQuantConfig
+from .quant import sym_quant_dequant
 
 logger = logging.getLogger(__name__)
 
@@ -51,7 +51,6 @@ def rotated_quantized_forward(params, cfg: ModelConfig, R1, R2,
     d, dh = cfg.hidden_size, cfg.head_dim
     KV, H = cfg.num_kv_heads, cfg.num_heads
     L = cfg.num_layers
-    acfg = ActQuantConfig(bits=a_bits, sym=False)
 
     def rot_in(W):  # [L, out, d] @ R1
         return jnp.einsum("lod,de->loe", W, R1)
@@ -59,19 +58,32 @@ def rotated_quantized_forward(params, cfg: ModelConfig, R1, R2,
     def rot_out(W):  # R1^T @ [L, d, in]
         return jnp.einsum("ed,ldi->lei", R1.T, W)
 
+    def leaf(W):
+        """Fake-quantized weight, wrapped so the forward also applies
+        per-token asym activation fake-quant at this linear's input when
+        a_bits < 16 (the reference trains rotations against the W+A
+        fake-quant model, train_utils/modeling_llama_quant.py; act quant
+        has straight-through gradients so R1/R2 still receive signal)."""
+        Wq = _wquant(W, w_bits)
+        if a_bits >= 16:
+            return Wq
+        from ...nn.act_quant import ActQuantLinear
+        return ActQuantLinear(weight=Wq, bias=None,
+                              in_bits=a_bits, in_sym=False)
+
     Wv = rot_in(lp["v_proj"]).reshape(L, KV, dh, d)
     Wv = jnp.einsum("lhe,lkhd->lked", R2, Wv).reshape(L, KV * dh, d)
     Wo = rot_out(lp["o_proj"]).reshape(L, d, H, dh)
     Wo = jnp.einsum("ldhi,lij->ldhj", Wo, R2).reshape(L, d, H * dh)
 
     new_layers = dict(lp)
-    new_layers["q_proj"] = _wquant(rot_in(lp["q_proj"]), w_bits)
-    new_layers["k_proj"] = _wquant(rot_in(lp["k_proj"]), w_bits)
-    new_layers["v_proj"] = _wquant(Wv, w_bits)
-    new_layers["o_proj"] = _wquant(Wo, w_bits)
-    new_layers["gate_proj"] = _wquant(rot_in(lp["gate_proj"]), w_bits)
-    new_layers["up_proj"] = _wquant(rot_in(lp["up_proj"]), w_bits)
-    new_layers["down_proj"] = _wquant(rot_out(lp["down_proj"]), w_bits)
+    new_layers["q_proj"] = leaf(rot_in(lp["q_proj"]))
+    new_layers["k_proj"] = leaf(rot_in(lp["k_proj"]))
+    new_layers["v_proj"] = leaf(Wv)
+    new_layers["o_proj"] = leaf(Wo)
+    new_layers["gate_proj"] = leaf(rot_in(lp["gate_proj"]))
+    new_layers["up_proj"] = leaf(rot_in(lp["up_proj"]))
+    new_layers["down_proj"] = leaf(rot_out(lp["down_proj"]))
 
     p = dict(params)
     p["layers"] = new_layers
