@@ -29,9 +29,15 @@ def save_packed(output_dir: str, cfg: ModelConfig, dense_params,
     L = cfg.num_layers
     per_layer = [cache_util.load_npz_dict(
         cache_util.layer_path(quantized_path, l)) for l in range(L)]
+    has_kwords = f"{cfg.module_names[0]}.kwords" in per_layer[0]
     for m in cfg.module_names:
         arrays[f"layers.{m}.trellis"] = np.stack(
             [per_layer[l][f"{m}.trellis"] for l in range(L)])
+        if has_kwords:
+            arrays[f"layers.{m}.kwords"] = np.stack(
+                [per_layer[l][f"{m}.kwords"] for l in range(L)])
+            arrays[f"layers.{m}.cycle"] = np.asarray(
+                per_layer[0][f"{m}.cycle"])
         arrays[f"layers.{m}.SU"] = np.stack(
             [per_layer[l][f"{m}.SU"] for l in range(L)])
         arrays[f"layers.{m}.SV"] = np.stack(
@@ -54,6 +60,7 @@ def save_packed(output_dir: str, cfg: ModelConfig, dense_params,
         "quip_params": {
             "L": cb.L, "K": cb.K, "V": cb.V, "tlut_bits": cb.tlut_bits,
             "decode_mode": cb.decode_mode, "td_x": td_x, "td_y": td_y,
+            "stream_format": "column" if has_kwords else "tile256",
         },
     })
 
@@ -88,8 +95,10 @@ def load_packed(model_dir: str, dtype=jnp.bfloat16, cache_dense: bool = True,
     for mname in cfg.module_names:
         m, n = dims[mname]
         tr = z[f"layers.{mname}.trellis"]
+        kwords = z.get(f"layers.{mname}.kwords")
+        cycle = int(z.get(f"layers.{mname}.cycle", 256))
         hatW = None
-        if cache_dense:
+        if kwords is None and cache_dense:
             hatW = jnp.asarray(np.stack([
                 decode_trellis_dense(cb, tr[l].view(np.uint16), m, n,
                                      td_x, td_y)
@@ -100,6 +109,8 @@ def load_packed(model_dir: str, dtype=jnp.bfloat16, cache_dense: bool = True,
             SV=jnp.asarray(z[f"layers.{mname}.SV"]),
             Wscale=jnp.asarray(z[f"layers.{mname}.Wscale"]),
             hatW=hatW,
+            kwords=None if kwords is None else jnp.asarray(kwords),
+            cycle=cycle,
             L_bits=cb.L, K=cb.K, V=cb.V, tlut_bits=cb.tlut_bits,
             decode_mode=cb.decode_mode, td_x=td_x, td_y=td_y,
             out_features=m, in_features=n)

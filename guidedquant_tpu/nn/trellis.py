@@ -13,8 +13,9 @@ Decode paths:
 - ``cached``: dense bf16 hatW decoded once at load time (the reference's
   ``cache_hatW``/train-fixW mode, bitshift.py:391-410) — correctness + prefill
   path; no memory savings at runtime.
-- the fused Pallas trellis-decode kernel (compute codebooks) replaces the
-  cached path on the decode hot loop as it lands.
+- ``kwords``: column-cyclic kernel format served by the fused Pallas
+  trellis decode+matvec kernel (ops/trellis_kernel.py) on the decode hot
+  loop, with a Pallas dequant-to-dense variant for prefill.
 """
 
 from __future__ import annotations
@@ -38,6 +39,11 @@ class TrellisLinear:
     SV: jnp.ndarray               # [(L,) m] ±1
     Wscale: jnp.ndarray           # [(L,)] or scalar
     hatW: Optional[jnp.ndarray] = None  # cached decoded [(L,) m, n] (bf16)
+    # column-cyclic kernel-format words [(L,) m/16, n] int32 for the fused
+    # Pallas decode+matmul (ops/trellis_kernel.py); requires a compute
+    # decode_mode ("2mad"/"tpu2u")
+    kwords: Optional[jnp.ndarray] = None
+    cycle: int = struct.field(pytree_node=False, default=256)
     # NOTE: the tlut lives in the BitshiftCodebook (host side); it is shared
     # across layers and must not be a stacked pytree leaf.
     # static config
@@ -121,22 +127,53 @@ def unpack_trellis_states_jnp(packed: jnp.ndarray, T: int, L: int, K: int,
 
 
 def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
-    """Forward: cached dense hatW when present, else traceable decode for
-    compute codebooks (2mad)."""
-    if w.hatW is not None:
-        hatW = w.hatW.astype(x.dtype)
-    else:
-        assert w.decode_mode == "2mad" and w.V == 1, \
-            "traceable decode supports 2mad/V=1; load with cache_dense else"
-        m, n = w.out_features, w.in_features
-        T = w.td_x * w.td_y
-        states = unpack_trellis_states_jnp(w.trellis, T, w.L_bits, w.K, w.V)
-        vals = decode_2mad_jnp(states)  # [B_tiles, T]
-        tiles = vals.reshape(-1, T)
-        t4 = tiles.reshape(m // w.td_x, n // w.td_y, w.td_x, w.td_y)
-        hatW = t4.transpose(0, 2, 1, 3).reshape(m, n).astype(x.dtype)
+    """Forward. Decode-path priority (mirrors the reference's kernel
+    dispatch, qtip/lib/linear/quantized_linear.py:445-455):
+
+    1. column-cyclic kernel words + few tokens -> fused Pallas decode+matvec;
+    2. column-cyclic kernel words + many tokens (prefill) -> Pallas dequant to
+       dense + MXU matmul (on CPU: traceable XLA decode);
+    3. cached dense hatW;
+    4. traceable 256-stream 2mad decode (reference-format fallback).
+    """
     t = matmul_hadUt(x * w.SU.astype(x.dtype))
-    y = jnp.einsum("...k,nk->...n", t, hatW)
+    m, n = w.out_features, w.in_features
+    if w.kwords is not None:
+        from ..ops import trellis_kernel as tk
+        assert w.decode_mode in tk.KERNEL_MODES, w.decode_mode
+        if tk.supported(t, w.kwords, w.decode_mode):
+            *lead, K = t.shape
+            B = 1
+            for s in lead:
+                B *= s
+            y = tk.trellis_matmul(t.reshape(B, K), w.kwords, w.decode_mode,
+                                  cycle=w.cycle, L=w.L_bits)
+            y = y.reshape(*lead, m).astype(x.dtype)
+        else:
+            import jax as _jax
+            if _jax.default_backend() in ("tpu", "axon"):
+                hatW = tk.trellis_dequant(w.kwords, w.decode_mode,
+                                          cycle=w.cycle, L=w.L_bits,
+                                          dtype=x.dtype)
+            else:
+                hatW = tk.decode_kwords_traceable(
+                    w.kwords, m, n, w.decode_mode,
+                    cycle=w.cycle, L=w.L_bits).astype(x.dtype)
+            y = jnp.einsum("...k,nk->...n", t, hatW)
+    else:
+        if w.hatW is not None:
+            hatW = w.hatW.astype(x.dtype)
+        else:
+            assert w.decode_mode == "2mad" and w.V == 1, \
+                "traceable decode supports 2mad/V=1; load with cache_dense else"
+            T = w.td_x * w.td_y
+            states = unpack_trellis_states_jnp(w.trellis, T, w.L_bits, w.K,
+                                               w.V)
+            vals = decode_2mad_jnp(states)  # [B_tiles, T]
+            tiles = vals.reshape(-1, T)
+            t4 = tiles.reshape(m // w.td_x, n // w.td_y, w.td_x, w.td_y)
+            hatW = t4.transpose(0, 2, 1, 3).reshape(m, n).astype(x.dtype)
+        y = jnp.einsum("...k,nk->...n", t, hatW)
     y = matmul_hadU(y)
     return y * (w.SV * w.Wscale).astype(x.dtype)
 
@@ -145,7 +182,13 @@ def effective_dense_weight(w: TrellisLinear) -> np.ndarray:
     """Materialize W_eff with  y = x @ W_eff^T  ==  apply_trellis(x)
     (for tests / fake-packing)."""
     m, n = w.out_features, w.in_features
-    hatW = np.asarray(w.hatW, np.float32)
+    if w.hatW is not None:
+        hatW = np.asarray(w.hatW, np.float32)
+    else:
+        from ..ops.trellis_kernel import decode_kwords_traceable
+        hatW = np.asarray(decode_kwords_traceable(
+            jnp.asarray(w.kwords), m, n, w.decode_mode, cycle=w.cycle,
+            L=w.L_bits), np.float32)
     # W_eff = diag(SV*s) . Mm hatW Mn^T . diag(SU)
     A = np.asarray(matmul_hadU(jnp.asarray(hatW), axis=0))   # Mm hatW
     B = np.asarray(matmul_hadU(jnp.asarray(A), axis=1))      # ... Mn^T

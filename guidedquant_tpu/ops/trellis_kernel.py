@@ -1,0 +1,322 @@
+"""Pallas TPU kernels: fused QTIP trellis decode + matmul.
+
+TPU-native replacement for the reference's qtip-kernels CUDA extension
+(``qtip/qtip-kernels/src/inference.cu:1-472``: per-shape tensor-core
+decode+matvec) and its compiled fallback
+(``qtip/lib/utils/kernel_decompress.py``). The CUDA kernel keeps trellis
+bits in registers and byte-permutes 16-bit windows per mma fragment; none
+of that maps to the TPU. Instead:
+
+- **column-cyclic stream format** (a quantization-time layout choice,
+  replacing the reference's row-major 256-value stream per 16x16 tile):
+  every CYCLE-row column segment of the weight matrix is one tail-biting
+  trellis cycle (CYCLE=256 values, K=2 bits/step, L=16 -> 512 stream bits
+  = 16 int32 words). Value r of a cycle occupies stream bits
+  [2r, 2r+16) mod 512, so with words stored as ``[m/16, n]`` int32
+  (word j of a cycle on row 16*g + j), in-kernel extraction is:
+
+      w_lo  = words row r//16, w_hi = next word row (cyclic in the cycle)
+      state = top16( (w_lo << 2*(r%16)) | (w_hi >> (32 - 2*(r%16))) )
+
+  — a sublane repeat, one sublane roll (the cycle wrap coincides with the
+  kernel row-tile boundary when tile_n == CYCLE), and vector shifts. No
+  gathers, no selects. Storage is exactly K bits per weight; sequence
+  length matches the reference's 256, so coding gain is preserved.
+- **compute codebooks** resolve states arithmetically on the VPU (the
+  reference's lut-free modes, ``bitshift.py:17-60``): ``2mad`` bit-exactly
+  (32-bit high-multiply emulated with 16-bit limbs), or the cheaper
+  TPU-native ``tpu2u`` (LCG -> two uniform f32 mantissas summed:
+  triangular marginal, ~9 VPU ops vs ~22 for 2mad).
+- The decoded tile feeds an MXU ``dot_general``; f32 accumulation over
+  k-tiles. A dequant-only variant serves the prefill path.
+
+The Viterbi encoder is unchanged (same BitshiftCodebook); only the
+sequence grouping (CYCLE-value column segments) and the packing differ.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEQ = 16            # rows per packed int32 word
+CYCLE = 256         # default rows per trellis cycle (== kernel tile_n)
+KERNEL_MODES = ("2mad", "tpu2u")
+
+# tpu2u constants (public mixing constants: golden-ratio Weyl increment and
+# the murmur3 c2 multiplier)
+_T2U_C1 = 0x9E3779B9
+_T2U_C2 = 0x7F4A7C15
+_T2U_C3 = 0x85EBCA6B
+_ONE_F32 = 0x3F800000
+
+
+# ---------------------------------------------------------------------------
+# Host packing (numpy; quantization/load time)
+# ---------------------------------------------------------------------------
+
+def pack_column_cyclic(cb, states: np.ndarray) -> np.ndarray:
+    """states [B_seq, C] cyclic trellis state sequences -> int32 words
+    [B_seq, C/16] (stream bits [32j, 32j+32) in word j, MSB first).
+
+    Sequences must satisfy the bitshift overlap *cyclically* (from
+    cb.quantize with L<=16, K=2, V=1). The stream is 2 bits/value
+    regardless of L; states are the top-L bits of each 16-bit window.
+    """
+    assert cb.L <= 16 and cb.K == 2 and cb.V == 1, (cb.L, cb.K, cb.V)
+    C = states.shape[1]
+    assert C % SEQ == 0
+    w = cb.pack_trellis(states)  # [B, C/8] uint16, MSB-first stream
+    assert w.shape[1] == C // 8
+    u = w.astype(np.uint32).reshape(-1, C // 16, 2)
+    return ((u[:, :, 0] << 16) | u[:, :, 1]).view(np.int32)
+
+
+def states_to_kwords(cb, Qidxs: np.ndarray, cycle: int = CYCLE) -> np.ndarray:
+    """Per-value trellis states [m, n] -> kernel words [m/16, n] int32.
+
+    Sequence (i, c) covers rows i*cycle..(i+1)*cycle-1 of column c.
+    """
+    m, n = Qidxs.shape
+    assert m % cycle == 0 and cycle % SEQ == 0
+    seqs = (Qidxs.reshape(m // cycle, cycle, n)
+            .transpose(0, 2, 1).reshape(-1, cycle))     # [(i,c), r]
+    words = pack_column_cyclic(cb, seqs)                # [(i,c), cycle/16]
+    words = words.reshape(m // cycle, n, cycle // SEQ)
+    return words.transpose(0, 2, 1).reshape(m // SEQ, n)
+
+
+def unpack_kwords_np(words: np.ndarray, m: int, n: int,
+                     cycle: int = CYCLE, L: int = 16) -> np.ndarray:
+    """Kernel words [m/16, n] -> per-value states [m, n] (oracle)."""
+    wpc = cycle // SEQ  # words per cycle
+    w = words.view(np.uint32).reshape(m // cycle, wpc, n)
+    g = np.arange(cycle) // SEQ              # word index within cycle
+    sh = (2 * (np.arange(cycle) % SEQ)).astype(np.uint32)
+    w_lo = w[:, g, :]                        # [m/cycle, cycle, n]
+    w_hi = w[:, (g + 1) % wpc, :]
+    sh = sh[None, :, None]
+    win = ((w_lo << sh) | np.where(sh > 0, w_hi >> (32 - np.maximum(sh, 1)),
+                                   0)) & np.uint32(0xFFFFFFFF)
+    states = (win >> np.uint32(32 - L)).astype(np.int32)
+    return states.reshape(m, n)
+
+
+def decode_kwords_dense_np(cb, words: np.ndarray, m: int, n: int,
+                           cycle: int = CYCLE) -> np.ndarray:
+    """Kernel words -> dense [m, n] f32 via the codebook lut (oracle)."""
+    states = unpack_kwords_np(words, m, n, cycle, L=cb.L)
+    return cb.recons(states)[0]
+
+
+# ---------------------------------------------------------------------------
+# tpu2u compute codebook (numpy reference; must match the kernel bit-exactly)
+# ---------------------------------------------------------------------------
+
+def decode_tpu2u(states: np.ndarray) -> np.ndarray:
+    """states -> values: LCG hash -> two f32 mantissa uniforms in [1,2),
+    summed (triangular marginal on [-1,1) after centering)."""
+    x = (np.asarray(states, np.uint64) * _T2U_C1 + _T2U_C2) & 0xFFFFFFFF
+    u1 = (((x >> 9) | _ONE_F32).astype(np.uint32)).view(np.float32)
+    x2 = (x * _T2U_C3) & 0xFFFFFFFF
+    u2 = (((x2 >> 9) | _ONE_F32).astype(np.uint32)).view(np.float32)
+    return (u1 + u2) - np.float32(3.0)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel decode (int32 arithmetic + logical shifts; no gathers/selects)
+# ---------------------------------------------------------------------------
+
+def _srl(x, s):
+    return lax.shift_right_logical(x, s)
+
+
+def _window_states(w_lo, w_hi, tile_n: int, tile_k: int, L: int = 16):
+    """w_lo/w_hi [tile_n/16, tile_k] (word + cyclic next word) ->
+    states [tile_n, tile_k] (top-L bits of each 16-bit window)."""
+    lo = jnp.repeat(w_lo, SEQ, axis=0)
+    hi = jnp.repeat(w_hi, SEQ, axis=0)
+    sh = 2 * (lax.broadcasted_iota(jnp.int32, (tile_n, tile_k), 0) % SEQ)
+    # (w_hi >> (32-sh)) with sh == 0 -> two-step shift keeps amounts <= 31
+    win = (lo << sh) | _srl(_srl(hi, 1), 31 - sh)
+    return _srl(win, 32 - L)
+
+
+def _decode_2mad_i32(states):
+    """Bit-exact 2mad (reference bitshift.py:29-40) in int32 ops; the
+    32-bit high-multiply of x*1664525 is emulated with 16-bit limbs."""
+    x = states * jnp.int32(264435761) + jnp.int32(1013904223)
+    al, ah = jnp.int32(1664525 & 0xFFFF), jnp.int32(1664525 >> 16)
+    xl = x & jnp.int32(0xFFFF)
+    xh = _srl(x, 16)
+    p0 = xl * al
+    mid = xl * ah + xh * al + _srl(p0, 16)
+    hi = xh * ah + _srl(mid, 16)
+    x = hi + x
+    y = ((x & 255) + (_srl(x, 8) & 255) + (_srl(x, 16) & 255)
+         + (_srl(x, 24) & 255))
+    return (y.astype(jnp.float32) - 510.0) * jnp.float32(1 / 147.800537109375)
+
+
+def _decode_tpu2u_i32(states):
+    x = states * jnp.int32(np.int32(np.uint32(_T2U_C1))) + jnp.int32(_T2U_C2)
+    u1 = lax.bitcast_convert_type(_srl(x, 9) | jnp.int32(_ONE_F32),
+                                  jnp.float32)
+    x2 = x * jnp.int32(np.int32(np.uint32(_T2U_C3)))
+    u2 = lax.bitcast_convert_type(_srl(x2, 9) | jnp.int32(_ONE_F32),
+                                  jnp.float32)
+    return (u1 + u2) - jnp.float32(3.0)
+
+
+_DECODERS = {"2mad": _decode_2mad_i32, "tpu2u": _decode_tpu2u_i32}
+
+
+def decode_kwords_traceable(words: jnp.ndarray, m: int, n: int,
+                            mode: str, cycle: int = CYCLE,
+                            L: int = 16) -> jnp.ndarray:
+    """XLA (non-Pallas) decode of kernel words -> dense [m, n] f32.
+
+    The interpret-mode oracle and the CPU fallback path.
+    """
+    wpc = cycle // SEQ
+    w = words.astype(jnp.int32).reshape(m // cycle, wpc, n)
+    w_hi = jnp.roll(w, -1, axis=1)
+    lo = w.reshape(m // SEQ, n)
+    hi = w_hi.reshape(m // SEQ, n)
+    lo = jnp.repeat(lo, SEQ, axis=0)
+    hi = jnp.repeat(hi, SEQ, axis=0)
+    sh = 2 * (lax.broadcasted_iota(jnp.int32, (m, n), 0) % SEQ)
+    win = (lo << sh) | _srl(_srl(hi, 1), 31 - sh)
+    states = _srl(win, 32 - L)
+    return _DECODERS[mode](states)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _roll_next(w, rows: int):
+    """words block [rows, tile_k] -> cyclic next-word block (sublane roll:
+    out[g] = w[(g+1) % rows]). The cycle boundary coincides with the block
+    boundary (tile_n == cycle)."""
+    return pltpu.roll(w, rows - 1, 0)
+
+
+def _trellis_matmul_kernel(x_ref, w_ref, o_ref, *, mode: str, tile_n: int,
+                           tile_k: int, L: int):
+    """Grid (m/tile_n, n/tile_k); f32 accumulation over the k axis.
+
+    x_ref [B, tile_k] bf16; w_ref [tile_n/16, tile_k] int32; o_ref [B, tile_n].
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = w_ref[:]
+    states = _window_states(w, _roll_next(w, tile_n // SEQ), tile_n, tile_k,
+                            L)
+    vals = _DECODERS[mode](states).astype(jnp.bfloat16)
+    o_ref[:] += lax.dot_general(
+        x_ref[:], vals, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _trellis_dequant_kernel(w_ref, o_ref, *, mode: str, tile_n: int,
+                            tile_k: int, L: int):
+    w = w_ref[:]
+    states = _window_states(w, _roll_next(w, tile_n // SEQ), tile_n, tile_k,
+                            L)
+    o_ref[:] = _DECODERS[mode](states).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "cycle", "tile_k", "L",
+                                    "interpret"))
+def trellis_matmul(x: jnp.ndarray, words: jnp.ndarray, mode: str = "2mad",
+                   cycle: int = CYCLE, tile_k: int = 512, L: int = 16,
+                   interpret: bool = False) -> jnp.ndarray:
+    """y[B, m] = x[B, n] @ decode(words)^T.  words [m/16, n] int32.
+
+    tile_n is pinned to ``cycle`` so the in-kernel sublane roll realizes
+    the cyclic wrap exactly.
+    """
+    B, n = x.shape
+    mg, n2 = words.shape
+    m = mg * SEQ
+    assert n2 == n, (n2, n)
+    tile_n = cycle
+    tile_k = min(tile_k, n)
+    assert m % tile_n == 0 and n % tile_k == 0, (m, n, tile_n, tile_k)
+
+    out = pl.pallas_call(
+        functools.partial(_trellis_matmul_kernel, mode=mode, tile_n=tile_n,
+                          tile_k=tile_k, L=L),
+        grid=(m // tile_n, n // tile_k),
+        in_specs=[
+            pl.BlockSpec((B, tile_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n // SEQ, tile_k), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * m * n + 24 * m * n,
+            bytes_accessed=m * n // 4 + B * n * 2 + B * m * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), words)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "cycle", "tile_k", "L", "dtype",
+                                    "interpret"))
+def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
+                    cycle: int = CYCLE, tile_k: int = 512, L: int = 16,
+                    dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """Decode kernel words -> dense [m, n] (prefill path)."""
+    mg, n = words.shape
+    m = mg * SEQ
+    tile_n = cycle
+    tile_k = min(tile_k, n)
+    assert m % tile_n == 0 and n % tile_k == 0, (m, n, tile_n, tile_k)
+    return pl.pallas_call(
+        functools.partial(_trellis_dequant_kernel, mode=mode, tile_n=tile_n,
+                          tile_k=tile_k, L=L),
+        grid=(m // tile_n, n // tile_k),
+        in_specs=[pl.BlockSpec((tile_n // SEQ, tile_k), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_n, tile_k), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), dtype),
+        interpret=interpret,
+    )(words)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch helper (mirrors lut_kernels.supported)
+# ---------------------------------------------------------------------------
+
+MAX_BATCH = 32
+
+
+def supported(x, kwords, mode: str) -> bool:
+    if kwords is None or mode not in KERNEL_MODES:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    ntok = 1
+    for s in x.shape[:-1]:
+        ntok *= s
+    return ntok <= MAX_BATCH

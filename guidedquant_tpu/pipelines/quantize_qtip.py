@@ -29,7 +29,8 @@ logger = logging.getLogger(__name__)
 def run_qtip_stage(params, cfg: ModelConfig, hessians_path: str,
                    quantized_path: str, cb: BitshiftCodebook,
                    td_x: int, td_y: int, scale_override: float,
-                   sigma_reg: float, ft_steps: int = 0, ft_lr: float = 1e-3):
+                   sigma_reg: float, ft_steps: int = 0, ft_lr: float = 1e-3,
+                   stream_format: str = "tile256", cycle: int = 256):
     todo, done = cache_util.done_layers(quantized_path, cfg.num_layers)
     if done:
         logger.info("qtip: skipping completed layers %s", done)
@@ -41,12 +42,15 @@ def run_qtip_stage(params, cfg: ModelConfig, hessians_path: str,
             art = quantize_linear_qtip(
                 weights[m], hess[m], cb, td_x=td_x, td_y=td_y,
                 scale_override=scale_override, sigma_reg=sigma_reg,
-                seed=l)
+                seed=l, stream_format=stream_format, cycle=cycle)
             if ft_steps:
                 from ..solvers.qtip.finetune import finetune_susv
                 art = finetune_susv(art, weights[m], hess[m],
                                     steps=ft_steps, lr=ft_lr)
             out[f"{m}.trellis"] = art["trellis"]
+            if "kwords" in art:
+                out[f"{m}.kwords"] = art["kwords"]
+                out[f"{m}.cycle"] = np.asarray(art["cycle"])
             out[f"{m}.SU"] = art["SU"]
             out[f"{m}.SV"] = art["SV"]
             out[f"{m}.Wscale"] = np.asarray(art["Wscale"])
@@ -62,6 +66,7 @@ def quantize_qtip(
         td_x: int = 16, td_y: int = 16,
         scale_override: float = 0.9, sigma_reg: float = 0.01,
         ft_steps: int = 0, ft_lr: float = 1e-3,
+        stream_format: str = "tile256", cycle: int = 256,
         mode: str = "pack",
         cache_dir: str = "cache",
         dataset: str = "c4", seq_len: int = 512, num_examples: int = 100,
@@ -84,7 +89,8 @@ def quantize_qtip(
     saliency_path = f"{cache_dir}/saliency/{key}_g{num_groups}"
     nosal = "_nosal" if is_nosal else ""
     hessians_path = f"{cache_dir}/hessians/{key}_g{num_groups}{nosal}"
-    tag = f"{decode_mode}_L{L}K{K}V{V}t{tlut_bits}"
+    ftag = "" if stream_format == "tile256" else f"_{stream_format}"
+    tag = f"{decode_mode}_L{L}K{K}V{V}t{tlut_bits}{ftag}"
     quantized_path = (f"{cache_dir}/qtip_quantized/"
                       f"{model_name}-{tag}-{dataset}_s{num_examples}"
                       f"_blk{seq_len}_g{num_groups}{nosal}")
@@ -111,7 +117,8 @@ def quantize_qtip(
                               decode_mode=decode_mode)
     run_qtip_stage(params, cfg, hessians_path, quantized_path, cb,
                    td_x, td_y, scale_override, sigma_reg,
-                   ft_steps=ft_steps, ft_lr=ft_lr)
+                   ft_steps=ft_steps, ft_lr=ft_lr,
+                   stream_format=stream_format, cycle=cycle)
     if mode == "quantize":
         return quantized_path
 

@@ -109,6 +109,14 @@ class BitshiftCodebook:
             assert V == 1
             lut = decode_1mad(states)[None]
             self.tlut = None
+        elif decode_mode == "tpu2u":
+            # TPU-native compute codebook (ops/trellis_kernel.py): 2 f32
+            # mantissa uniforms summed — ~9 VPU ops in-kernel vs ~22 for
+            # 2mad's emulated high-multiply. Triangular marginal.
+            from ...ops.trellis_kernel import decode_tpu2u
+            assert V == 1
+            lut = decode_tpu2u(states)[None]
+            self.tlut = None
         elif decode_mode == "2mad":
             assert V == 1
             lut = decode_2mad(states)[None]

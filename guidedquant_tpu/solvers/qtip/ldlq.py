@@ -57,13 +57,21 @@ def block_LDL(H: np.ndarray, b: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
 
 
 def ldlq(Wr: np.ndarray, L: np.ndarray, cb, td_x: int = 16, td_y: int = 16,
-         buf_cols: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+         buf_cols: int = 128, seq_mode: str = "tile256", cycle: int = 256,
+         ) -> Tuple[np.ndarray, np.ndarray]:
     """Wr [m, n], L [n, n] from block_LDL(H, td_y) -> (hatWr [m, n],
     Qidxs [m, n/V] trellis states).
 
     Column blocks processed high->low with error feedback
-    (reference ldlq.py:41-86); each block is reshaped into td_x*td_y-length
-    trellis sequences and quantized by cb.quantize.
+    (reference ldlq.py:41-86); each block is reshaped into trellis
+    sequences and quantized by cb.quantize.
+
+    seq_mode:
+      - "tile256": td_x x td_y tiles in row-major order (the reference's
+        stream layout).
+      - "col": each ``cycle``-row COLUMN segment is its own tail-biting
+        sequence — the layout of the fused TPU decode kernel
+        (ops/trellis_kernel.py). Requires V == 1 and m % cycle == 0.
     """
     m, n = Wr.shape
     assert n % td_y == 0 and m % td_x == 0
@@ -92,12 +100,23 @@ def ldlq(Wr: np.ndarray, L: np.ndarray, cb, td_x: int = 16, td_y: int = 16,
             target = (b_Wr[s:e]
                       + b_L[e:, lo + s:lo + e].T @ (b_Wr[e:] - b_hat[e:])
                       + b_prod[s:e])  # [td_y, m]
-            # tiles: [td_y, m] -> per (row-tile) sequences of td_x*td_y
-            seqs = target.T.reshape(-1, trellissz)  # row-major td_x x td_y
-            hat, idxs = cb.quantize(seqs)
-            b_hat[s:e] = hat.reshape(m, td_y).T
-            b_Q[td_y // V * i: td_y // V * (i + 1)] = \
-                idxs.reshape(m, td_y // V).T
+            if seq_mode == "col":
+                assert V == 1 and m % cycle == 0, (V, m, cycle)
+                # sequences = cycle-row column segments: [(m/cycle)*td_y, C]
+                tt = target.T.reshape(m // cycle, cycle, td_y)
+                seqs = tt.transpose(0, 2, 1).reshape(-1, cycle)
+                hat, idxs = cb.quantize(seqs)
+                h4 = hat.reshape(m // cycle, td_y, cycle).transpose(0, 2, 1)
+                b_hat[s:e] = h4.reshape(m, td_y).T
+                i4 = idxs.reshape(m // cycle, td_y, cycle).transpose(0, 2, 1)
+                b_Q[td_y * i: td_y * (i + 1)] = i4.reshape(m, td_y).T
+            else:
+                # tiles: [td_y, m] -> per (row-tile) sequences of td_x*td_y
+                seqs = target.T.reshape(-1, trellissz)  # row-major tiles
+                hat, idxs = cb.quantize(seqs)
+                b_hat[s:e] = hat.reshape(m, td_y).T
+                b_Q[td_y // V * i: td_y // V * (i + 1)] = \
+                    idxs.reshape(m, td_y // V).T
         prod_cache += b_L.T @ (b_Wr - b_hat)
         hatWr_T[lo:hi] = b_hat
     return np.ascontiguousarray(hatWr_T.T), np.ascontiguousarray(Qidxs_T.T)

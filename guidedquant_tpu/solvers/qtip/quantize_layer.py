@@ -40,11 +40,19 @@ def quantize_linear_qtip(W: np.ndarray, H: np.ndarray, cb: BitshiftCodebook,
                          td_x: int = 16, td_y: int = 16,
                          scale_override: float = 0.9,
                          sigma_reg: float = 0.01,
-                         seed: int = 0) -> Dict:
+                         seed: int = 0,
+                         stream_format: str = "tile256",
+                         cycle: int = 256) -> Dict:
     """W [m, n], H [g, n, n] grouped proxy Hessians -> quantized artifacts.
 
     Returns dict with packed trellis, SU, SV, Wscale, hatWr (transformed
     domain), proxy_err.
+
+    stream_format "column" encodes ``cycle``-value per-column cyclic
+    trellis sequences and emits ``kwords`` for the fused TPU decode kernel
+    (ops/trellis_kernel.py) instead of the reference's 256-value tile
+    streams; requires a compute decode_mode with V == 1. Sequence length
+    (and thus coding gain) matches tile256 at cycle=256.
     """
     m, n = W.shape
     g = H.shape[0]
@@ -65,7 +73,12 @@ def quantize_linear_qtip(W: np.ndarray, H: np.ndarray, cb: BitshiftCodebook,
         Hi = regularize_H(H[i], sigma_reg)
         HRr[i] = _sandwich_Ut(SU[:, None] * Hi * SU[None, :])
 
+    assert stream_format in ("tile256", "column"), stream_format
+    seq_mode = "col" if stream_format == "column" else "tile256"
     rows_per_g = m // g
+    # one uniform cycle length across all saliency row-groups
+    cycle = min(cycle, rows_per_g)
+    assert rows_per_g % cycle == 0, (rows_per_g, cycle)
     hatWr = np.zeros((m, n), np.float32)
     Qidxs = np.zeros((m, n // cb.V), np.int32)
     for i in range(g):
@@ -77,21 +90,30 @@ def quantize_linear_qtip(W: np.ndarray, H: np.ndarray, cb: BitshiftCodebook,
         L, _ = out
         L[np.diag_indices(n)] = 0.0
         sl = slice(i * rows_per_g, (i + 1) * rows_per_g)
-        hatWr[sl], Qidxs[sl] = ldlq(Wr[sl], L, cb, td_x=td_x, td_y=td_y)
+        hatWr[sl], Qidxs[sl] = ldlq(Wr[sl], L, cb, td_x=td_x, td_y=td_y,
+                                    seq_mode=seq_mode, cycle=cycle)
 
     err = _grouped_proxy_error(Wr, hatWr, HRr, g)
-    logger.info("qtip: proxy err %.6f (m=%d n=%d g=%d)", err, m, n, g)
+    logger.info("qtip: proxy err %.6f (m=%d n=%d g=%d fmt=%s)", err, m, n, g,
+                stream_format)
 
-    # pack per td_x x td_y tile (row-major within tile)
-    T = td_x * td_y
-    state_tiles = Qidxs.reshape(m // td_x, td_x, n // td_y, td_y // cb.V)
-    state_tiles = state_tiles.transpose(0, 2, 1, 3).reshape(-1, T // cb.V)
-    packed = cb.pack_trellis(state_tiles)
-
-    return {
-        "trellis": packed, "SU": SU, "SV": SV,
+    art = {
+        "SU": SU, "SV": SV,
         "Wscale": np.float32(Wscale), "hatWr": hatWr, "proxy_err": err,
     }
+    if stream_format == "column":
+        from ...ops.trellis_kernel import states_to_kwords
+        art["kwords"] = states_to_kwords(cb, Qidxs, cycle=cycle)
+        art["cycle"] = cycle
+        # tiny placeholder keeps the TrellisLinear field shape-stable
+        art["trellis"] = np.zeros((1, 1), np.uint16)
+    else:
+        # pack per td_x x td_y tile (row-major within tile)
+        T = td_x * td_y
+        state_tiles = Qidxs.reshape(m // td_x, td_x, n // td_y, td_y // cb.V)
+        state_tiles = state_tiles.transpose(0, 2, 1, 3).reshape(-1, T // cb.V)
+        art["trellis"] = cb.pack_trellis(state_tiles)
+    return art
 
 
 def _grouped_proxy_error(Wr, hatWr, HRr, g):
@@ -110,12 +132,17 @@ def _grouped_proxy_error(Wr, hatWr, HRr, g):
 def build_trellis_linear(artifacts: Dict, cb: BitshiftCodebook, m: int, n: int,
                          td_x: int = 16, td_y: int = 16,
                          cache_dense: bool = True) -> TrellisLinear:
-    """Artifacts -> runtime TrellisLinear (with load-time dense decode)."""
+    """Artifacts -> runtime TrellisLinear.
+
+    cyclic16 artifacts carry ``kwords`` for the fused decode kernel and
+    need no dense cache; tile256 artifacts optionally cache the dense
+    decode at load time (the reference's cache_hatW mode)."""
     from ..qtip.codebook import BitshiftCodebook  # noqa
     from ...nn.trellis import decode_trellis_dense
 
+    kwords = artifacts.get("kwords")
     hatW = None
-    if cache_dense:
+    if kwords is None and cache_dense:
         hatW = jnp.asarray(decode_trellis_dense(
             cb, artifacts["trellis"], m, n, td_x, td_y), jnp.float32)
     return TrellisLinear(
@@ -123,6 +150,8 @@ def build_trellis_linear(artifacts: Dict, cb: BitshiftCodebook, m: int, n: int,
         SU=jnp.asarray(artifacts["SU"]), SV=jnp.asarray(artifacts["SV"]),
         Wscale=jnp.asarray(artifacts["Wscale"]),
         hatW=hatW,
+        kwords=None if kwords is None else jnp.asarray(kwords),
+        cycle=int(artifacts.get("cycle", 256)),
         L_bits=cb.L, K=cb.K, V=cb.V, tlut_bits=cb.tlut_bits,
         decode_mode=cb.decode_mode, td_x=td_x, td_y=td_y,
         out_features=m, in_features=n)

@@ -65,3 +65,25 @@ def test_qtip_pipeline_resume(setup, tmp_path):
     m2 = dict(np.load(os.path.join(d2, "model.npz")))
     for k in m1:
         np.testing.assert_array_equal(m1[k], m2[k])
+
+
+def test_qtip_pipeline_column_format(setup, tmp_path):
+    """stream_format="column" end-to-end: kwords land in the packed
+    checkpoint, reload serves via the kernel-format decode path, and ppl
+    matches the tile256 run's quality class."""
+    cfg, params, tokens, stream, _ = setup
+    cb = BitshiftCodebook(L=10, K=2, V=1, decode_mode="tpu2u")
+    packed = quantize_qtip(
+        "tinyqtip", cfg=cfg, params=params, K=2, L=10, V=1,
+        decode_mode="tpu2u", td_x=8, td_y=8, stream_format="column",
+        cycle=32, cache_dir=str(tmp_path / "c"),
+        dataset="synthetic", seq_len=32, num_examples=4, num_groups=1,
+        tokens=tokens, cb=cb)
+    qcfg, qparams = qtip_format.load_packed(packed, dtype=jnp.float32, cb=cb)
+    for m in cfg.module_names:
+        assert qparams["layers"][m].kwords is not None
+        assert qparams["layers"][m].hatW is None
+    ppl_fp = evaluate_ppl(params, cfg, stream, ctx_len=48, verbose=False)
+    ppl_q = evaluate_ppl(qparams, qcfg, stream, ctx_len=48, verbose=False)
+    assert np.isfinite(ppl_q)
+    assert ppl_q < ppl_fp * 2.5, (ppl_q, ppl_fp)

@@ -1,0 +1,138 @@
+"""Fused trellis decode kernel (ops/trellis_kernel.py): column-cyclic
+format round-trip, bit-exact interpret-mode kernel vs the codebook-lut
+oracle, and quantization-quality parity of the column stream vs the
+reference's 256-value tile stream.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guidedquant_tpu.ops import trellis_kernel as tk
+from guidedquant_tpu.solvers.qtip.codebook import BitshiftCodebook
+from guidedquant_tpu.solvers.qtip.ldlq import block_LDL, ldlq, regularize_H
+
+
+@pytest.fixture(scope="module", params=["2mad", "tpu2u"])
+def cb(request):
+    return BitshiftCodebook(L=16, K=2, V=1, decode_mode=request.param)
+
+
+def _random_cyclic_states(n_seq, cycle, rng):
+    """Valid cyclic state sequences from random 2*cycle-bit streams."""
+    nbits = 2 * cycle
+    bits = rng.integers(0, 2, size=(n_seq, nbits), dtype=np.uint8)
+    ext = np.concatenate([bits, bits[:, :16]], axis=1)
+    states = np.zeros((n_seq, cycle), np.int32)
+    w16 = (1 << np.arange(15, -1, -1))
+    for r in range(cycle):
+        states[:, r] = (ext[:, 2 * r:2 * r + 16] * w16).sum(1)
+    return states
+
+
+def test_pack_column_cyclic_roundtrip(cb, rng):
+    cycle = 64
+    states = _random_cyclic_states(24, cycle, rng)
+    words = tk.pack_column_cyclic(cb, states)  # [24, cycle/16]
+    assert words.shape == (24, cycle // 16)
+    # reshape into the kwords layout for one column
+    kw = words.reshape(24 * cycle // 16, 1)
+    back = tk.unpack_kwords_np(kw, 24 * cycle, 1, cycle=cycle)
+    np.testing.assert_array_equal(back.reshape(24, cycle), states)
+
+
+def test_tpu2u_numpy_matches_traceable(rng):
+    states = rng.integers(0, 1 << 16, size=(32, 48), dtype=np.int64)
+    a = tk.decode_tpu2u(states)
+    b = np.asarray(tk._decode_tpu2u_i32(jnp.asarray(states, jnp.int32)))
+    np.testing.assert_array_equal(a.astype(np.float32), b)
+
+
+def test_2mad_decoder_matches_reference(rng):
+    from guidedquant_tpu.solvers.qtip.codebook import decode_2mad
+    states = rng.integers(0, 1 << 16, size=(16, 128), dtype=np.int64)
+    ref = decode_2mad(states)
+    got = np.asarray(tk._decode_2mad_i32(jnp.asarray(states, jnp.int32)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_trellis_matmul_interpret_vs_oracle(cb, rng):
+    m_, n_, cycle = 64, 256, 64
+    states = _random_cyclic_states((m_ // cycle) * n_, cycle, rng)
+    Qidxs = (states.reshape(m_ // cycle, n_, cycle)
+             .transpose(0, 2, 1).reshape(m_, n_))
+    words = tk.states_to_kwords(cb, Qidxs, cycle=cycle)
+
+    dense = tk.decode_kwords_dense_np(cb, words, m_, n_, cycle=cycle)
+    # traceable decode agrees with the lut oracle
+    tr = np.asarray(tk.decode_kwords_traceable(
+        jnp.asarray(words), m_, n_, cb.decode_mode, cycle=cycle))
+    np.testing.assert_allclose(tr, dense, atol=1e-6)
+
+    x = rng.normal(size=(4, n_)).astype(np.float32)
+    y_ref = x @ dense.T
+    y = np.asarray(tk.trellis_matmul(
+        jnp.asarray(x), jnp.asarray(words), cb.decode_mode,
+        cycle=cycle, tile_k=128, interpret=True))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(y_ref).max())
+
+    d = np.asarray(tk.trellis_dequant(
+        jnp.asarray(words), cb.decode_mode, cycle=cycle, tile_k=128,
+        dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(d, dense, atol=1e-6)
+
+
+def test_ldlq_col_and_kernel_e2e(cb, rng):
+    """LDLQ with column-cyclic sequences -> kwords -> kernel decode
+    reproduces the solver's own hatWr exactly, at tile256-level quality."""
+    m_, n_, cycle = 32, 64, 32
+    W = rng.normal(size=(m_, n_)).astype(np.float32)
+    A = rng.normal(size=(n_, 2 * n_)).astype(np.float32)
+    H = A @ A.T / (2 * n_) + 0.1 * np.eye(n_, dtype=np.float32)
+    H = regularize_H(H, 0.01)
+    L, _ = block_LDL(H, 16)
+    L[np.diag_indices(n_)] = 0.0
+
+    hatWr, Qidxs = ldlq(W, L, cb, seq_mode="col", cycle=cycle)
+    words = tk.states_to_kwords(cb, Qidxs, cycle=cycle)
+    dense = tk.decode_kwords_dense_np(cb, words, m_, n_, cycle=cycle)
+    np.testing.assert_allclose(dense, hatWr, atol=1e-6)
+
+    from guidedquant_tpu.solvers.qtip.ldlq import proxy_error
+    err_col = proxy_error(W, hatWr, H)
+    hat256, _ = ldlq(W, L, cb, seq_mode="tile256")
+    err256 = proxy_error(W, hat256, H)
+    assert err_col < 1.0
+    # same sequence length (32 here) as a 2x16 tile -> comparable quality
+    assert err_col < err256 * 1.35 + 0.02, (err_col, err256)
+
+
+def test_apply_trellis_kwords_dispatch(cb, rng):
+    """TrellisLinear with kwords: CPU path (traceable decode) must equal the
+    dense-cached forward."""
+    from guidedquant_tpu.nn.trellis import TrellisLinear, apply_trellis
+
+    m_, n_, cycle = 32, 64, 32
+    states = _random_cyclic_states((m_ // cycle) * n_, cycle, rng)
+    Qidxs = (states.reshape(m_ // cycle, n_, cycle)
+             .transpose(0, 2, 1).reshape(m_, n_))
+    words = tk.states_to_kwords(cb, Qidxs, cycle=cycle)
+    dense = tk.decode_kwords_dense_np(cb, words, m_, n_, cycle=cycle)
+
+    SU = rng.choice([-1.0, 1.0], size=n_).astype(np.float32)
+    SV = rng.choice([-1.0, 1.0], size=m_).astype(np.float32)
+    common = dict(
+        trellis=jnp.zeros((1, 1), jnp.int16), SU=jnp.asarray(SU),
+        SV=jnp.asarray(SV), Wscale=jnp.asarray(np.float32(1.7)),
+        L_bits=16, K=2, V=1, decode_mode=cb.decode_mode, cycle=cycle,
+        out_features=m_, in_features=n_)
+    w_k = TrellisLinear(kwords=jnp.asarray(words), **common)
+    w_d = TrellisLinear(hatW=jnp.asarray(dense), **common)
+
+    x = jnp.asarray(rng.normal(size=(3, n_)), jnp.float32)
+    y_k = np.asarray(apply_trellis(w_k, x))
+    y_d = np.asarray(apply_trellis(w_d, x))
+    np.testing.assert_allclose(y_k, y_d, rtol=1e-5, atol=1e-5)

@@ -69,7 +69,9 @@ def chain_shift(dtype):
 
 
 def main():
-    print("backend:", jax.default_backend())
+    import sys, os
+    sel = sys.argv[1] if len(sys.argv) > 1 else None
+    print("backend:", jax.default_backend(), flush=True)
     ov = null_overhead()
     print(f"null-call overhead: {ov*1e3:.2f} ms")
     elems = N * N * ITERS
@@ -85,11 +87,14 @@ def main():
         ("i16 shift+and+add", chain_shift, jnp.int16),
         ("u8 shift+and+add", chain_shift, jnp.uint8),
     ]:
+        if sel and sel not in name:
+            continue
         try:
             f, args = mk(dt)
             t, _ = measure(f, *args)
             t -= ov
             rows.append((name, t / ITERS * 1e6, elems / t / 1e12))
+            print(f"{name}: {t/ITERS*1e6:.2f} us/pass", flush=True)
         except Exception as e:  # noqa: BLE001
             rows.append((name, float("nan"), 0.0))
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
