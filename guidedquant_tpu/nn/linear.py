@@ -97,6 +97,30 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
     coef = np.stack(coefs) if stacked else coefs[0]
     w = w.replace(qwords=jnp.asarray(words), pcoef=jnp.asarray(coef))
 
+    # Affine fast path (the cheapest kernel: no in-kernel LUT resolve):
+    # engage only when every row's codebook IS a uniform grid (RTN / GPTQ /
+    # SpinQuant weights, or LNQ solved with codebook_family="affine"),
+    # so it stays exact.
+    affine_ok = True
+    a_s, a_m = [], []
+    for lut in luts:
+        sr, mr, relerr = lut_kernels.fit_affine(lut)
+        # exact grids reach ~1e-7 in f32 but only ~3e-4 (f16) / ~2e-3
+        # (bf16) after checkpoint storage rounding; genuinely non-uniform
+        # codebooks sit >1e-2. The refit (s, m) then match the *stored*
+        # LUT at storage-rounding accuracy — same error class as the bf16
+        # decode itself.
+        if relerr > 3e-3:
+            affine_ok = False
+            break
+        a_s.append(sr)
+        a_m.append(mr)
+    if affine_ok:
+        sr = np.stack(a_s) if stacked else a_s[0]
+        mr = np.stack(a_m) if stacked else a_m[0]
+        return w.replace(gpoly=None, srow=jnp.asarray(sr),
+                         mrow=jnp.asarray(mr))
+
     # Shared-shape fast path: only when the codebooks genuinely lie in the
     # family (e.g. LNQ solved with shared_shape_tile), so it stays exact.
     if bits <= 2:
@@ -189,7 +213,12 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
     from ..ops import lut_kernels
-    if (w.qwords is not None and w.gpoly is not None
+    if (w.qwords is not None and w.gpoly is None and w.srow is not None
+            and lut_kernels.supported(x, w.qwords, w.precision)):
+        # Affine (uniform-grid) kernel: code-dot + per-row epilogue
+        y = lut_kernels.lut_matmul_affine_flex(
+            x, w.qwords, w.srow, w.mrow, w.precision, w.out_features)
+    elif (w.qwords is not None and w.gpoly is not None
             and lut_kernels.supported(x, w.qwords, w.precision)):
         # Fast shared-shape kernel (scalar-coefficient decode)
         y = lut_kernels.lut_matmul_flex(x, w.qwords, w.gpoly, w.srow, w.mrow,

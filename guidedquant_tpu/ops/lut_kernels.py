@@ -354,6 +354,98 @@ def lut_matmul_shared(x: jnp.ndarray, words: jnp.ndarray, gpoly: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Affine kernel: per-row uniform grid  L_n[c] = m_n + s_n * c
+#
+# The decode needs NO in-kernel LUT resolve at all: the MXU consumes the raw
+# code values (cast to bf16) and the per-row affine lands in an O(N)
+# epilogue:  y_n = s_n * (C x)_n + m_n * sum(x).  That is the measured VPU
+# floor (tile + shift + mask + cast + dot ~= 15 us vs 44 us dense bf16 at
+# 4096^2 — 2.9x, where the exact per-row-LUT kernel is pass-bound at ~1.8x).
+# Uniform per-row grids are exactly what RTN / GPTQ / SpinQuant W2-W4
+# produce, and LNQ can solve within the family (solvers.lnq
+# codebook_family="affine").
+# ---------------------------------------------------------------------------
+
+def fit_affine(lut: np.ndarray):
+    """Fit lut [N, C] ~= m[:, None] + s[:, None] * arange(C) per row (LS).
+
+    Returns (s [N], m [N], relerr)."""
+    lut64 = np.asarray(lut, np.float64)
+    N, C = lut64.shape
+    j = np.arange(C, dtype=np.float64)
+    jc = j - j.mean()
+    s = (lut64 * jc).sum(1) / (jc ** 2).sum()
+    m = lut64.mean(1) - s * j.mean()
+    approx = m[:, None] + s[:, None] * j
+    relerr = float(np.linalg.norm(approx - lut64) /
+                   max(np.linalg.norm(lut64), 1e-12))
+    return s.astype(np.float32), m.astype(np.float32), relerr
+
+
+def _affine_kernel(x_ref, w_ref, o_ref, *, bits: int, tile_k: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    codes = _decode_codes(w_ref, bits, tile_k).astype(jnp.bfloat16)
+    o_ref[:] += lax.dot_general(x_ref[:], codes, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "tile_n"))
+def lut_matmul_affine(x: jnp.ndarray, words: jnp.ndarray, srow: jnp.ndarray,
+                      mrow: jnp.ndarray, bits: int,
+                      tile_n: int = 256) -> jnp.ndarray:
+    """y[B, N] = x @ (m + s*codes)^T: code-dot kernel + affine epilogue."""
+    B, K_pad = x.shape
+    N = words.shape[0]
+    TK = tile_k_for(bits)
+    n_ktiles = words.shape[1] // LANE_WORDS
+    assert K_pad == n_ktiles * TK
+    assert N % tile_n == 0, (N, tile_n)
+    cx = pl.pallas_call(
+        functools.partial(_affine_kernel, bits=bits, tile_k=TK),
+        grid=(N // tile_n, n_ktiles),
+        in_specs=[
+            pl.BlockSpec((B, TK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, LANE_WORDS), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K_pad + 5 * N * K_pad,
+            bytes_accessed=N * K_pad * bits // 8 + B * K_pad * 2 + B * N * 4,
+            transcendentals=0),
+    )(x.astype(jnp.bfloat16), words)
+    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
+    return cx * srow[None, :] + sumx * mrow[None, :]
+
+
+def lut_matmul_affine_flex(x: jnp.ndarray, words: jnp.ndarray,
+                           srow: jnp.ndarray, mrow: jnp.ndarray, bits: int,
+                           out_features: Optional[int] = None) -> jnp.ndarray:
+    """Affine kernel wrapper: x [..., K]."""
+    *lead, K = x.shape
+    B = int(np.prod(lead)) if lead else 1
+    TK = tile_k_for(bits)
+    K_pad = words.shape[1] // LANE_WORDS * TK
+    x2 = x.reshape(B, K)
+    if K_pad != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
+    N = words.shape[0]
+    tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
+    y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n)
+    if out_features is not None and out_features != N:
+        y = y[:, :out_features]
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch API used by nn.linear
 # ---------------------------------------------------------------------------
 

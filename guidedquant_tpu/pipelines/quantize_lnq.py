@@ -56,7 +56,8 @@ def run_hessians_stage(params, cfg: ModelConfig, tokens, saliency_path: str,
 def run_lnq_stage(params, cfg: ModelConfig, init_path: str, hessians_path: str,
                   quantized_path: str, seed_precision: int,
                   num_iterations: int, cd_cycles: int,
-                  sub_qlayer=None, shared_shape_tile=None):
+                  sub_qlayer=None, shared_shape_tile=None,
+                  codebook_family: str = "free"):
     todo, done = cache_util.done_layers(
         os.path.join(quantized_path, "weights"), cfg.num_layers)
     if sub_qlayer:
@@ -83,7 +84,8 @@ def run_lnq_stage(params, cfg: ModelConfig, init_path: str, hessians_path: str,
             H = hess[m]  # [G, K, K]
             lab, C, log = train_least_squares(
                 W, lab0, C0, H, num_iterations=num_iterations,
-                cd_cycles=cd_cycles, shared_shape_tile=shared_shape_tile)
+                cd_cycles=cd_cycles, shared_shape_tile=shared_shape_tile,
+                codebook_family=codebook_family)
             labels_out[m] = lab.reshape(N, 1, K)
             luts_out[m] = C.reshape(N, 1, ncl).astype(np.float16)
             logs[m] = log
@@ -116,6 +118,7 @@ def layerwise_nuq(
         sub_qlayer=None,
         is_nosal: bool = False,
         shared_shape_tile=None,
+        codebook_family: str = "free",
         tokenizer=None, texts: Optional[Sequence[str]] = None,
         tokens: Optional[np.ndarray] = None,
         hessian_batch_size: int = 4,
@@ -133,6 +136,8 @@ def layerwise_nuq(
     saliency_path = f"{cache_dir}/saliency/{key}_g{num_groups}"
     nosal = "_nosal" if is_nosal else ""
     ss = f"_ss{shared_shape_tile}" if shared_shape_tile else ""
+    if codebook_family != "free":
+        ss += f"_{codebook_family}"
     hessians_path = f"{cache_dir}/hessians/{key}_g{num_groups}{nosal}"
     init_path = (f"{cache_dir}/quantized/"
                  f"{model_name}-w{seed_precision}_orig{seed_precision}"
@@ -167,7 +172,8 @@ def layerwise_nuq(
                    seed_precision)
     run_lnq_stage(params, cfg, init_path, hessians_path, quantized_path,
                   seed_precision, num_iterations, cd_cycles, sub_qlayer,
-                  shared_shape_tile=shared_shape_tile)
+                  shared_shape_tile=shared_shape_tile,
+                  codebook_family=codebook_family)
     if mode == "quantize":
         return quantized_path
 

@@ -235,6 +235,56 @@ def restrict_shared_shape(C: np.ndarray, rows_per_tile: int = 512):
 
 
 # ---------------------------------------------------------------------------
+# Affine codebook restriction (uniform per-row grid; the cheapest TPU
+# decode kernel needs no in-kernel LUT resolve at all)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _affine_normal_eq(H_g: jnp.ndarray, W_rows: jnp.ndarray,
+                      lab_rows: jnp.ndarray):
+    """Exact per-row WLS of the affine codebook GIVEN assignments:
+    min_{m,s} (m*1 + s*lab - w) H (m*1 + s*lab - w)^T.
+
+    Design X = [1, lab] (D x 2): returns M [R, 2, 2] = X^T H X and
+    rhs [R, 2] = X^T H w."""
+    R, D = W_rows.shape
+    ones = jnp.ones((R, D), jnp.float32)
+    labf = lab_rows.astype(jnp.float32)
+    X = jnp.stack([ones, labf], axis=-1)  # [R, D, 2]
+    HX = jnp.einsum("jk,rkc->rjc", H_g, X,
+                    preferred_element_type=jnp.float32)
+    M = jnp.einsum("rjb,rjc->rbc", X, HX, preferred_element_type=jnp.float32)
+    Hw = jnp.einsum("jk,rk->rj", H_g, W_rows,
+                    preferred_element_type=jnp.float32)
+    rhs = jnp.einsum("rjc,rj->rc", X, Hw, preferred_element_type=jnp.float32)
+    return M, rhs
+
+
+def update_C_affine(W: np.ndarray, H: np.ndarray, labels: np.ndarray,
+                    ncl: int, chunk_rows: int = 2048) -> np.ndarray:
+    """Codebook update restricted to C_n = m_n + s_n * arange(ncl): the
+    exact minimizer of the guided objective within the affine family given
+    the current assignments."""
+    N, D = W.shape
+    G = H.shape[0]
+    gs = N // G
+    C_out = np.empty((N, ncl), np.float32)
+    j = np.arange(ncl, dtype=np.float32)
+    for g in range(G):
+        Hg = jnp.asarray(H[g])
+        for s in range(g * gs, (g + 1) * gs, chunk_rows):
+            e = min(s + chunk_rows, (g + 1) * gs)
+            M, rhs = _affine_normal_eq(Hg, jnp.asarray(W[s:e]),
+                                       jnp.asarray(labels[s:e]))
+            M = np.asarray(M, np.float64) + LAMBDA_REG * np.eye(2)
+            sol = np.linalg.solve(M, np.asarray(rhs, np.float64)[..., None]
+                                  )[..., 0]  # [R, 2] = (m, s)
+            C_out[s:e] = (sol[:, :1] + sol[:, 1:] * j[None, :]
+                          ).astype(np.float32)
+    return C_out
+
+
+# ---------------------------------------------------------------------------
 # Outer loop (train_least_squares :210-292)
 # ---------------------------------------------------------------------------
 
@@ -242,6 +292,7 @@ def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
                         init_C: np.ndarray, H: np.ndarray,
                         num_iterations: int = 3, cd_cycles: int = 4,
                         shared_shape_tile: Optional[int] = None,
+                        codebook_family: str = "free",
                         ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Alternating minimization with damping + early stop.
 
@@ -251,15 +302,28 @@ def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
     ``shared_shape_tile``: if set, the final codebook is snapped to the
     row-tile-shared-shape family (fast TPU decode kernel) and the
     assignments re-optimized once against the snapped centroids.
+
+    ``codebook_family``: "free" (unrestricted per-row codebook, the
+    reference's LNQ) or "affine" (per-row uniform grid m + s*j — the
+    cheapest TPU decode kernel: raw code dot on the MXU + O(N) affine
+    epilogue, see ops.lut_kernels.lut_matmul_affine). With "affine" every
+    C-step is the exact WLS minimizer within the family, so the
+    alternation converges to the best affine solution rather than
+    snapping a free solution at the end.
     """
+    assert codebook_family in ("free", "affine"), codebook_family
     N, D = W.shape
     ncl = init_C.shape[1]
     H = dampen_hessians(H)
+    c_step = update_C if codebook_family == "free" else update_C_affine
 
     Wj = jnp.asarray(W, jnp.float32)
     Hjj = jnp.asarray(H)
     labels = np.asarray(init_labels, np.int32)
     C = np.asarray(init_C, np.float32)
+    if codebook_family == "affine":
+        # project the (free) seed init into the family before alternating
+        C = update_C_affine(W, H, labels, ncl)
 
     def obj(lab, Cc):
         return float(objective(Wj, Hjj, jnp.asarray(lab),
@@ -271,7 +335,10 @@ def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
     logger.info("LNQ initial objective: %.6f", best)
 
     for it in range(num_iterations):
-        if it > 0:
+        # free family: the seed labels are already nearest-neighbor optimal
+        # for the seed codebook, so skip the first P-update. affine: the
+        # init projection just re-optimized C, so P goes first.
+        if it > 0 or codebook_family == "affine":
             prev = labels
             labels = np.asarray(update_P(Wj, Hjj, jnp.asarray(labels),
                                          jnp.asarray(C), cd_cycles))
@@ -283,7 +350,7 @@ def train_least_squares(W: np.ndarray, init_labels: np.ndarray,
         log["iteration"].append(it + 1)
         logger.info("LNQ iter %d (P): objective %.6f", it + 1, o)
 
-        C = update_C(W, H, labels, ncl)
+        C = c_step(W, H, labels, ncl)
         o = obj(labels, C)
         log["objective"].append(o)
         log["iteration"].append(it + 1)

@@ -26,6 +26,11 @@ def main():
     p.add_argument("--shared_shape_tile", type=int, default=None,
                    help="snap codebooks to the row-tile-shared-shape family "
                         "(enables the fast scalar-coefficient decode kernel)")
+    p.add_argument("--codebook_family", default="free",
+                   choices=["free", "affine"],
+                   help="'affine' solves within the per-row uniform-grid "
+                        "family (fastest TPU decode kernel: MXU code-dot "
+                        "+ affine epilogue)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -39,7 +44,7 @@ def main():
         num_groups=args.num_groups, num_iterations=args.num_iterations,
         cd_cycles=args.cd_cycles, sub_qlayer=args.sub_qlayer,
         is_nosal=args.is_nosal, shared_shape_tile=args.shared_shape_tile,
-        tokenizer=tokenizer)
+        codebook_family=args.codebook_family, tokenizer=tokenizer)
     print(out)
 
 

@@ -1,0 +1,173 @@
+"""Affine (uniform per-row grid) codebook family: fit, kernel, LNQ solve.
+
+The affine family L_n[c] = m_n + s_n * c is the cheapest TPU decode form:
+the MXU consumes raw code values and the per-row affine lands in an O(N)
+epilogue (no in-kernel LUT resolve at all). RTN / GPTQ / SpinQuant weights
+are exactly in-family; LNQ can solve within it (codebook_family="affine").
+Oracle pattern: kernel vs dequant+matmul (reference test strategy,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from guidedquant_tpu.ops.lut_kernels import (
+    fit_affine, pack_lane_tiled, lut_matmul_affine, lut_matmul_affine_flex,
+    tile_k_for)
+
+
+def _affine_luts(rng, N, C):
+    s = (rng.random(N) + 0.5).astype(np.float32)
+    m = (rng.normal(size=N) * 0.1).astype(np.float32)
+    j = np.arange(C, dtype=np.float32)
+    return m[:, None] + s[:, None] * j[None, :], s, m
+
+
+def test_fit_affine_recovers_grid(rng):
+    lut, s, m = _affine_luts(rng, 256, 4)
+    sf, mf, relerr = fit_affine(lut)
+    assert relerr < 1e-6
+    np.testing.assert_allclose(sf, s, rtol=1e-5)
+    np.testing.assert_allclose(mf, m, atol=1e-5)
+
+
+def test_fit_affine_general_reports_error(rng):
+    lut = rng.normal(size=(256, 4)).astype(np.float32)
+    _, _, relerr = fit_affine(lut)
+    assert relerr > 1e-3  # arbitrary luts are NOT in the family
+
+
+@pytest.mark.parametrize("bits,B", [(1, 1), (2, 1), (2, 4), (4, 1)])
+def test_affine_kernel_matches_oracle(bits, B, rng):
+    from jax.experimental.pallas import tpu as pltpu
+    TK = tile_k_for(bits)
+    N, K = 256, TK
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine(jnp.asarray(x), words, jnp.asarray(s),
+                              jnp.asarray(m), bits, tile_n=128)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+
+
+def test_affine_flex_pads_k(rng):
+    """flex wrapper zero-pads K; padded positions must not contribute
+    (code 0 decodes to m != 0, but x is zero there and the epilogue's
+    sum(x) only covers real positions)."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = 2
+    N, K = 128, 100  # K << TILE_K forces padding
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    x = rng.normal(size=(3, K)).astype(np.float32)
+    from guidedquant_tpu.ops.lut_kernels import pad_to_tiles
+    padded, _ = pad_to_tiles(codes, bits)
+    words = jnp.asarray(pack_lane_tiled(padded, bits))
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine_flex(jnp.asarray(x), words, jnp.asarray(s),
+                                   jnp.asarray(m), bits, out_features=N)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+
+
+def test_with_kernel_layout_engages_affine(rng):
+    """Uniform-grid luts -> srow/mrow set, gpoly None; forward matches the
+    dequant oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+    from guidedquant_tpu.nn.linear import (
+        AnyPrecLinear, with_kernel_layout, apply_linear, dequantize_anyprec)
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 2, 128, 128
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    q = pack_bitplanes(codes, bits)
+    w = AnyPrecLinear(qweight=jnp.asarray(q), luts={bits: jnp.asarray(lut)},
+                      precision=bits, out_features=N, in_features=K)
+    w2 = with_kernel_layout(w)
+    assert w2.srow is not None and w2.gpoly is None
+    x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+    ref = x @ dequantize_anyprec(w).T
+    with pltpu.force_tpu_interpret_mode():
+        y = apply_linear(w2, x)
+    scale = float(jnp.abs(ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, np.asarray(ref) / scale,
+                               atol=2e-2)
+
+
+def test_with_kernel_layout_skips_affine_for_free_luts(rng):
+    """Genuinely non-uniform luts must NOT engage the affine path (it would
+    change the result)."""
+    from guidedquant_tpu.nn.linear import AnyPrecLinear, with_kernel_layout
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 2, 128, 128
+    codes = rng.integers(0, 4, size=(N, K), dtype=np.uint8)
+    lut = np.sort(rng.normal(size=(N, 4)).astype(np.float32), axis=1)
+    q = pack_bitplanes(codes, bits)
+    w = AnyPrecLinear(qweight=jnp.asarray(q), luts={bits: jnp.asarray(lut)},
+                      precision=bits, out_features=N, in_features=K)
+    w2 = with_kernel_layout(w)
+    assert not (w2.gpoly is None and w2.srow is not None)
+
+
+def test_update_c_affine_is_family_minimizer(rng):
+    """update_C_affine returns the exact WLS minimizer within the affine
+    family given assignments: random (m, s) perturbations never improve the
+    guided objective."""
+    from guidedquant_tpu.solvers.lnq import (
+        update_C_affine, objective, dampen_hessians)
+    N, D, ncl = 64, 32, 4
+    W = rng.normal(size=(N, D)).astype(np.float32)
+    X = rng.normal(size=(2, 4 * D, D)).astype(np.float32)
+    H = (np.einsum("gti,gtj->gij", X, X) / (4 * D) +
+         0.05 * np.eye(D)).astype(np.float32)
+    H = dampen_hessians(H)
+    labels = rng.integers(0, ncl, size=(N, D)).astype(np.int32)
+    C = update_C_affine(W, H, labels, ncl)
+    # in-family check
+    sf, mf, relerr = fit_affine(C)
+    assert relerr < 1e-5
+    base = float(objective(jnp.asarray(W), jnp.asarray(H),
+                           jnp.asarray(labels), jnp.asarray(C)))
+    j = np.arange(ncl, dtype=np.float32)
+    for _ in range(5):
+        dm = rng.normal(size=N).astype(np.float32) * 0.01
+        ds = rng.normal(size=N).astype(np.float32) * 0.01
+        C2 = C + dm[:, None] + ds[:, None] * j[None, :]
+        o2 = float(objective(jnp.asarray(W), jnp.asarray(H),
+                             jnp.asarray(labels), jnp.asarray(C2)))
+        assert o2 >= base - 1e-6 * max(abs(base), 1.0)
+
+
+def test_lnq_affine_end_to_end(rng):
+    """train_least_squares(codebook_family='affine') returns in-family C
+    with bounded objective inflation vs the free solution."""
+    from guidedquant_tpu.solvers.lnq import train_least_squares
+    N, D, ncl = 128, 32, 4
+    W = rng.normal(size=(N, D)).astype(np.float32)
+    X = rng.normal(size=(1, 4 * D, D)).astype(np.float32)
+    H = (np.einsum("gti,gtj->gij", X, X) / (4 * D) +
+         0.05 * np.eye(D)).astype(np.float32)
+    C0 = np.sort(rng.normal(size=(N, ncl)).astype(np.float32), axis=1)
+    lab0 = np.argmin(np.abs(W[:, :, None] - C0[:, None, :]), axis=2)
+
+    lab_f, C_f, log_f = train_least_squares(W, lab0.astype(np.int32), C0, H,
+                                            num_iterations=2, cd_cycles=2)
+    lab_a, C_a, log_a = train_least_squares(W, lab0.astype(np.int32), C0, H,
+                                            num_iterations=2, cd_cycles=2,
+                                            codebook_family="affine")
+    _, _, relerr = fit_affine(C_a)
+    assert relerr < 1e-5
+    # affine objective within 3x of the free solution on random data
+    assert (log_a["objective"][-1]
+            <= max(log_f["objective"][-1], 1e-12) * 3.0 + 1e-9)
+    # the alternation improved on the projected init
+    assert log_a["objective"][-1] <= log_a["objective"][0] + 1e-9
