@@ -81,7 +81,14 @@ def main():
     bf16_tok_s = _decode_tok_s(fuse_projections(params_bf16), cfg, n_tokens)
     del params_bf16
 
-    qparams = fuse_projections(_build_quantized_llama(cfg, 0, bits=2))
+    # BENCH_FAMILY selects the LNQ codebook family (decides the decode
+    # kernel): affine (flagship: codebook_family="affine"), shared
+    # (shared_shape_tile) or free (exact per-row-poly kernel).
+    family = os.environ.get("BENCH_FAMILY", "affine")
+    if os.environ.get("BENCH_SHARED", "1") != "1":  # legacy knob
+        family = "free"
+    qparams = fuse_projections(
+        _build_quantized_llama(cfg, 0, bits=2, family=family))
     if os.environ.get("BENCH_INT8_HEAD", "1") == "1":
         # quantize the LM head to int8 (the largest bf16 term per step);
         # embedding gather stays bf16
@@ -92,14 +99,6 @@ def main():
         cfg_q = cfg.replace(tie_word_embeddings=False)
     else:
         cfg_q = cfg
-    if os.environ.get("BENCH_SHARED", "1") != "1":
-        # BENCH_SHARED=0 falls back to the exact-poly kernel; default is the
-        # shared-shape decode path (both validated end-to-end on HW)
-        from guidedquant_tpu.nn.linear import AnyPrecLinear
-        qparams = {**qparams, "layers": {
-            k: (v.replace(gpoly=None, srow=None, mrow=None)
-                if isinstance(v, AnyPrecLinear) else v)
-            for k, v in qparams["layers"].items()}}
     q_tok_s = _decode_tok_s(qparams, cfg_q, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s

@@ -449,7 +449,12 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words: jnp.ndarray,
 # Dispatch API used by nn.linear
 # ---------------------------------------------------------------------------
 
-MAX_BATCH = 8  # decode-path batch bound (reference gemv.cu seq==1 contract)
+# Decode-path batch bound. The reference's CUDA gemv is hard-capped at
+# M<=8 (gemv.cu seq==1 contract, anyprec.cu maxm template); the Pallas
+# kernels tile the batch as block rows, so larger serving batches (16/32
+# continuous-batching slots) stay on the fused path — past this the MXU
+# prefill economics win anyway and dequant+matmul takes over.
+MAX_BATCH = 64
 
 
 def supported(x, qwords, bits) -> bool:

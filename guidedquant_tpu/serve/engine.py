@@ -237,11 +237,10 @@ def decode_step(params, cfg: ModelConfig, token: jnp.ndarray,
     return logits[:, 0], state
 
 
-@partial(jax.jit, static_argnames=("top_k",))
-def sample_token(logits: jnp.ndarray, key, temperature: float = 1.0,
-                 top_k: Optional[int] = None) -> jnp.ndarray:
-    """Greedy if temperature == 0 else (top-k) categorical
-    (reference generate.py:43-57)."""
+def _sample_logits(logits: jnp.ndarray, key, temperature,
+                   top_k: Optional[int]) -> jnp.ndarray:
+    """Traceable sampling core: greedy if temperature == 0 else (top-k)
+    categorical (reference generate.py:43-57)."""
     def greedy(_):
         return jnp.argmax(logits, axis=-1)
 
@@ -253,6 +252,12 @@ def sample_token(logits: jnp.ndarray, key, temperature: float = 1.0,
         return jax.random.categorical(key, l, axis=-1)
 
     return jax.lax.cond(temperature == 0.0, greedy, sampled, None)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_token(logits: jnp.ndarray, key, temperature: float = 1.0,
+                 top_k: Optional[int] = None) -> jnp.ndarray:
+    return _sample_logits(logits, key, temperature, top_k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"), donate_argnums=(3,))
@@ -275,14 +280,43 @@ def decode_n_tokens(params, cfg: ModelConfig, token: jnp.ndarray,
     return jnp.moveaxis(toks, 0, 1), tok, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"),
+         donate_argnums=(3,))
+def decode_n_tokens_sampled(params, cfg: ModelConfig, token: jnp.ndarray,
+                            state: DecodeState, n_tokens: int, key,
+                            temperature=0.0, top_k: Optional[int] = None):
+    """Sampled multi-token decode entirely on device. Returns
+    (tokens [B, n], last_token, state, key). The device-side analog of the
+    reference's compiled decode loop (generate.py:92-139) — on tunnel-style
+    transports this removes the fixed per-token dispatch cost."""
+    def body(carry, _):
+        tok, state, key = carry
+        logits, state = _run_stack(
+            params, cfg, tok[:, None], state,
+            jnp.broadcast_to(state.pos[None, None], (tok.shape[0], 1)))
+        key, k0 = jax.random.split(key)
+        nxt = _sample_logits(logits[:, 0], k0, temperature, top_k
+                             ).astype(jnp.int32)
+        return (nxt, state, key), nxt
+
+    (tok, state, key), toks = jax.lax.scan(body, (token, state, key), None,
+                                           length=n_tokens)
+    return jnp.moveaxis(toks, 0, 1), tok, state, key
+
+
+DECODE_CHUNK = 32  # device-side tokens per host round-trip in generate()
+
+
 def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              max_new_tokens: int, max_seq: Optional[int] = None,
              temperature: float = 0.0, top_k: Optional[int] = None,
              kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
              seed: int = 0,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
-    """Host-driven generate loop with gpt-fast-style metrics
-    (tok/s; reference generate.py:145-186, 374-381)."""
+    """Generate loop with gpt-fast-style metrics (tok/s; reference
+    generate.py:145-186, 374-381). Decode runs device-side in
+    DECODE_CHUNK-token scans so the per-call dispatch cost is amortized
+    (one host round-trip per chunk, not per token)."""
     prompt = np.atleast_2d(prompt)
     B, S = prompt.shape
     L = cfg.num_layers
@@ -298,17 +332,19 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     tok.block_until_ready()
     t_prefill = time.perf_counter() - t0
 
-    out = [np.asarray(tok)]
+    out = [np.asarray(tok)[:, None]]
     t0 = time.perf_counter()
-    for _ in range(max_new_tokens - 1):
-        logits, state = decode_step(params, cfg, tok, state)
-        key, k0 = jax.random.split(key)
-        tok = sample_token(logits, k0, temperature, top_k)
-        out.append(np.asarray(tok))
-    jax.block_until_ready(tok)
+    remaining = max_new_tokens - 1
+    while remaining > 0:
+        n = min(DECODE_CHUNK, remaining)
+        toks, tok, state, key = decode_n_tokens_sampled(
+            params, cfg, jnp.asarray(tok, jnp.int32), state, n, key,
+            temperature, top_k)
+        out.append(np.asarray(toks))
+        remaining -= n
     t_decode = time.perf_counter() - t0
 
-    tokens = np.stack(out, axis=1)  # [B, new]
+    tokens = np.concatenate(out, axis=1)  # [B, new]
     metrics = {
         "prefill_s": t_prefill,
         "decode_s": t_decode,

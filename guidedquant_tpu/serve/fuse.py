@@ -36,7 +36,12 @@ def _concat_linears(ws, axis_n: int):
         if all(w.qwords is not None for w in ws):
             qwords = jnp.concatenate([w.qwords for w in ws], axis=axis_n)
             pcoef = jnp.concatenate([w.pcoef for w in ws], axis=axis_n)
-        if all(w.gpoly is not None for w in ws):
+        if all(w.gpoly is None and w.srow is not None for w in ws):
+            # affine family: rows concatenate freely (gpoly stays None so
+            # the dispatcher keeps the affine kernel path)
+            srow = jnp.concatenate([w.srow for w in ws], axis=axis_n)
+            mrow = jnp.concatenate([w.mrow for w in ws], axis=axis_n)
+        elif all(w.gpoly is not None for w in ws):
             # valid iff every module's rows are whole tiles of equal size
             tiles = {w.out_features // w.gpoly.shape[axis_n] for w in ws}
             if len(tiles) == 1:
