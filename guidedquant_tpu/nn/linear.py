@@ -80,27 +80,32 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
     from ..ops import lut_kernels
 
     bits = w.precision
-    if bits not in lut_kernels.KERNEL_BITS:
+    if bits not in lut_kernels.AFFINE_BITS:
         return w
     qw = np.asarray(w.qweight)
     stacked = qw.ndim == 4
     layers = qw if stacked else qw[None]
     luts = np.asarray(w.luts[bits], np.float32)
     luts = luts if stacked else luts[None]
-    out, coefs = [], []
-    for lq, lut in zip(layers, luts):
-        codes = unpack_bitplanes_np(lq, bits)
-        codes, _ = lut_kernels.pad_to_tiles(codes, bits)
-        out.append(lut_kernels.pack_lane_tiled(codes, bits))
-        coefs.append(lut_kernels.lut_to_poly(lut, bits))
-    words = np.stack(out) if stacked else out[0]
-    coef = np.stack(coefs) if stacked else coefs[0]
-    w = w.replace(qwords=jnp.asarray(words), pcoef=jnp.asarray(coef))
 
-    # Affine fast path (the cheapest kernel: no in-kernel LUT resolve):
+    def _pack_words():
+        out = []
+        for lq in layers:
+            codes = unpack_bitplanes_np(lq, bits)
+            codes, _ = lut_kernels.pad_to_tiles(codes, bits)
+            out.append(lut_kernels.pack_lane_tiled(codes, bits))
+        if isinstance(out[0], tuple):  # composite widths: per-field arrays
+            if stacked:
+                return tuple(jnp.asarray(np.stack([o[i] for o in out]))
+                             for i in range(len(out[0])))
+            return tuple(jnp.asarray(o) for o in out[0])
+        return jnp.asarray(np.stack(out) if stacked else out[0])
+
+    # Affine fast path (the cheapest kernel: no in-kernel LUT resolve —
+    # the MXU consumes raw codes, per-row affine is an O(N) epilogue):
     # engage only when every row's codebook IS a uniform grid (RTN / GPTQ /
     # SpinQuant weights, or LNQ solved with codebook_family="affine"),
-    # so it stays exact.
+    # so it stays exact. Works for every width 1-8 via field composition.
     affine_ok = True
     a_s, a_m = [], []
     for lut in luts:
@@ -118,8 +123,15 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
     if affine_ok:
         sr = np.stack(a_s) if stacked else a_s[0]
         mr = np.stack(a_m) if stacked else a_m[0]
-        return w.replace(gpoly=None, srow=jnp.asarray(sr),
-                         mrow=jnp.asarray(mr))
+        return w.replace(qwords=_pack_words(), pcoef=None, gpoly=None,
+                         srow=jnp.asarray(sr), mrow=jnp.asarray(mr))
+
+    if bits not in lut_kernels.KERNEL_BITS:
+        return w  # non-uniform LUTs at composite widths: dequant path
+
+    coefs = [lut_kernels.lut_to_poly(lut, bits) for lut in luts]
+    coef = np.stack(coefs) if stacked else coefs[0]
+    w = w.replace(qwords=_pack_words(), pcoef=jnp.asarray(coef))
 
     # Shared-shape fast path: only when the codebooks genuinely lie in the
     # family (e.g. LNQ solved with shared_shape_tile), so it stays exact.

@@ -38,45 +38,97 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE_WORDS = 128  # W: words per lane-tile (one full lane register)
-KERNEL_BITS = (1, 2, 4)  # bit-widths with a fused kernel
+KERNEL_BITS = (1, 2, 4)  # bit-widths with a fused exact-poly kernel
+
+# Bit-widths without a native 32/bits word packing are composed of
+# power-of-two *fields*, MSB-first (any-precision property preserved:
+# the 2-bit field of a 3-bit code is its 2-bit parent code). Each field
+# is lane-tiled independently at a common TILE_K; the kernel decodes each
+# field and combines c = sum_i c_i << shift_i. The CUDA reference instead
+# templates a bespoke bit-transposer per width (anyprec.cu:17-292); on
+# TPU field composition reuses one decode form at +1 VPU pass per extra
+# field.
+FIELD_SPLIT = {1: (1,), 2: (2,), 3: (2, 1), 4: (4,), 5: (4, 1),
+               6: (4, 2), 7: (4, 2, 1), 8: (8,)}
+AFFINE_BITS = tuple(FIELD_SPLIT)  # widths served by the affine kernel
+
+
+def fields_for(bits: int):
+    return FIELD_SPLIT[bits]
 
 
 def tile_k_for(bits: int) -> int:
-    """TILE_K such that TILE_K * bits / 32 == LANE_WORDS."""
-    return LANE_WORDS * 32 // bits
+    """Common TILE_K: every field's words-per-tile W_f = TILE_K*f/32 is a
+    multiple of LANE_WORDS (clean lane dims for Mosaic)."""
+    return LANE_WORDS * 32 // min(FIELD_SPLIT[bits])
 
 
 # ---------------------------------------------------------------------------
 # Layout: pack / unpack (numpy; done once at model load)
 # ---------------------------------------------------------------------------
 
-def pack_lane_tiled(codes: np.ndarray, bits: int) -> np.ndarray:
-    """codes [N, K] -> int32 [N, K*bits/32] in the lane-tiled kernel layout.
-
-    K must be a multiple of tile_k_for(bits) (pad first).
-    """
-    assert bits in (1, 2, 4, 8, 16)
-    per_word = 32 // bits
-    TK = tile_k_for(bits)
+def _pack_field(codes: np.ndarray, f: int, TK: int) -> np.ndarray:
+    """codes [N, K] of an f-bit field -> int32 [N, K*f/32] lane-tiled at
+    tile size TK (W_f = TK*f/32 words per row per k-tile)."""
+    per_word = 32 // f
+    W = TK * f // 32
     N, K = codes.shape
     assert K % TK == 0, f"K={K} must be padded to a multiple of {TK}"
     n_tiles = K // TK
-    W = LANE_WORDS
     # [N, T, TK] -> split lane index p = b*W + j  (b: bit-slot, j: word)
     c = codes.reshape(N, n_tiles, per_word, W).astype(np.uint32)
-    shifts = (np.arange(per_word, dtype=np.uint32) * bits)[None, None, :, None]
+    shifts = (np.arange(per_word, dtype=np.uint32) * f)[None, None, :, None]
     words = (c << shifts).sum(axis=2, dtype=np.uint32)  # [N, T, W]
     return words.reshape(N, n_tiles * W).view(np.int32)
 
 
-def unpack_lane_tiled_np(words: np.ndarray, bits: int, K: int) -> np.ndarray:
-    per_word = 32 // bits
-    W = LANE_WORDS
+def split_fields(codes: np.ndarray, bits: int):
+    """MSB-first field split, e.g. 3-bit c -> (c>>1 [2-bit], c&1 [1-bit])."""
+    out, rem = [], bits
+    for f in FIELD_SPLIT[bits]:
+        rem -= f
+        out.append(((codes >> rem) & ((1 << f) - 1)).astype(np.uint8))
+    return out
+
+
+def pack_lane_tiled(codes: np.ndarray, bits: int):
+    """codes [N, K] -> lane-tiled kernel operand.
+
+    Single-field widths (1/2/4/8/16) return one int32 [N, K*bits/32] array;
+    composite widths (3/5/6/7) return a tuple of per-field arrays.
+    K must be a multiple of tile_k_for(bits) (pad first).
+    """
+    if bits == 16:
+        return _pack_field(codes, 16, LANE_WORDS * 2)
+    fs = FIELD_SPLIT[bits]
+    TK = tile_k_for(bits)
+    if len(fs) == 1:
+        return _pack_field(codes, bits, TK)
+    return tuple(_pack_field(c, f, TK)
+                 for c, f in zip(split_fields(codes, bits), fs))
+
+
+def _unpack_field_np(words: np.ndarray, f: int, TK: int, K: int) -> np.ndarray:
+    per_word = 32 // f
+    W = TK * f // 32
     N = words.shape[0]
     w = words.view(np.uint32).reshape(N, -1, W)
-    shifts = (np.arange(per_word, dtype=np.uint32) * bits)[None, None, :, None]
-    c = (w[:, :, None, :] >> shifts) & np.uint32((1 << bits) - 1)
+    shifts = (np.arange(per_word, dtype=np.uint32) * f)[None, None, :, None]
+    c = (w[:, :, None, :] >> shifts) & np.uint32((1 << f) - 1)
     return c.reshape(N, -1)[:, :K].astype(np.uint8)
+
+
+def unpack_lane_tiled_np(words, bits: int, K: int) -> np.ndarray:
+    fs = FIELD_SPLIT[bits]
+    TK = tile_k_for(bits)
+    if len(fs) == 1:
+        return _unpack_field_np(words, bits, TK, K)
+    out, rem = None, bits
+    for w_f, f in zip(words, fs):
+        rem -= f
+        c = _unpack_field_np(w_f, f, TK, K).astype(np.uint8)
+        out = (c << rem) if out is None else out | (c << rem)
+    return out
 
 
 def pad_to_tiles(codes: np.ndarray, bits: int):
@@ -142,12 +194,25 @@ def poly_eval_np(coef: np.ndarray, codes: np.ndarray, bits: int) -> np.ndarray:
 
 def _decode_codes(w_ref, bits: int, tile_k: int):
     per_word = 32 // bits
-    words = w_ref[:]  # [TN, W] int32
+    words = w_ref[:]  # [TN, W] int32, W = tile_k*bits/32
+    W = words.shape[1]
     tiled = jnp.tile(words, (1, per_word))  # [TN, TK]; lane p -> word p % W
-    shift = (lax.broadcasted_iota(jnp.int32, (1, tile_k), 1)
-             // LANE_WORDS) * bits
+    shift = (lax.broadcasted_iota(jnp.int32, (1, tile_k), 1) // W) * bits
     codes = lax.shift_right_logical(tiled, jnp.broadcast_to(shift, tiled.shape))
     return codes & ((1 << bits) - 1)
+
+
+def _decode_fields(w_refs, bits: int, tile_k: int):
+    """Decode + combine the MSB-first field words -> int codes [TN, TK]."""
+    fs = FIELD_SPLIT[bits]
+    out, rem = None, bits
+    for w_ref, f in zip(w_refs, fs):
+        rem -= f
+        c = _decode_codes(w_ref, f, tile_k)
+        if rem:
+            c = c << rem
+        out = c if out is None else out | c
+    return out
 
 
 def _poly_resolve(codes, coef_ref, bits: int):
@@ -382,38 +447,48 @@ def fit_affine(lut: np.ndarray):
     return s.astype(np.float32), m.astype(np.float32), relerr
 
 
-def _affine_kernel(x_ref, w_ref, o_ref, *, bits: int, tile_k: int):
+def _affine_kernel(x_ref, *rest, bits: int, tile_k: int):
+    o_ref = rest[-1]
+    w_refs = rest[:-1]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    codes = _decode_codes(w_ref, bits, tile_k).astype(jnp.bfloat16)
+    codes = _decode_fields(w_refs, bits, tile_k).astype(jnp.bfloat16)
     o_ref[:] += lax.dot_general(x_ref[:], codes, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "tile_n"))
-def lut_matmul_affine(x: jnp.ndarray, words: jnp.ndarray, srow: jnp.ndarray,
+def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
                       mrow: jnp.ndarray, bits: int,
                       tile_n: int = 256) -> jnp.ndarray:
-    """y[B, N] = x @ (m + s*codes)^T: code-dot kernel + affine epilogue."""
+    """y[B, N] = x @ (m + s*codes)^T: code-dot kernel + affine epilogue.
+
+    ``words``: one array for single-field widths, or the per-field tuple
+    from pack_lane_tiled for composite widths (3/5/6/7 bit)."""
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
+    fs = FIELD_SPLIT[bits]
     B, K_pad = x.shape
-    N = words.shape[0]
+    N = words_t[0].shape[0]
     TK = tile_k_for(bits)
-    n_ktiles = words.shape[1] // LANE_WORDS
+    Ws = [TK * f // 32 for f in fs]
+    n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK
     assert N % tile_n == 0, (N, tile_n)
+
+    def _wspec(W_f):
+        return pl.BlockSpec((tile_n, W_f), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
     cx = pl.pallas_call(
         functools.partial(_affine_kernel, bits=bits, tile_k=TK),
         grid=(N // tile_n, n_ktiles),
-        in_specs=[
-            pl.BlockSpec((B, TK), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, LANE_WORDS), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec((B, TK), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)]
+                 + [_wspec(W_f) for W_f in Ws],
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
@@ -421,23 +496,25 @@ def lut_matmul_affine(x: jnp.ndarray, words: jnp.ndarray, srow: jnp.ndarray,
             flops=2 * B * N * K_pad + 5 * N * K_pad,
             bytes_accessed=N * K_pad * bits // 8 + B * K_pad * 2 + B * N * 4,
             transcendentals=0),
-    )(x.astype(jnp.bfloat16), words)
+    )(x.astype(jnp.bfloat16), *words_t)
     sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
     return cx * srow[None, :] + sumx * mrow[None, :]
 
 
-def lut_matmul_affine_flex(x: jnp.ndarray, words: jnp.ndarray,
+def lut_matmul_affine_flex(x: jnp.ndarray, words,
                            srow: jnp.ndarray, mrow: jnp.ndarray, bits: int,
                            out_features: Optional[int] = None) -> jnp.ndarray:
     """Affine kernel wrapper: x [..., K]."""
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
     *lead, K = x.shape
     B = int(np.prod(lead)) if lead else 1
     TK = tile_k_for(bits)
-    K_pad = words.shape[1] // LANE_WORDS * TK
+    W0 = TK * FIELD_SPLIT[bits][0] // 32
+    K_pad = words_t[0].shape[1] // W0 * TK
     x2 = x.reshape(B, K)
     if K_pad != K:
         x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
-    N = words.shape[0]
+    N = words_t[0].shape[0]
     tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
     y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n)
     if out_features is not None and out_features != N:
@@ -458,7 +535,7 @@ MAX_BATCH = 64
 
 
 def supported(x, qwords, bits) -> bool:
-    if qwords is None or bits not in KERNEL_BITS:
+    if qwords is None or bits not in AFFINE_BITS:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

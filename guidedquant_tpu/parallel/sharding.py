@@ -50,36 +50,71 @@ def dense_param_specs(cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
+# Fused projection leaves (serve/fuse.py) are column-parallel like their
+# components.
+_FUSED_PARTITION = {"qkv_proj": _COL, "gate_up_proj": _COL}
+
+
+def _anyprec_spec(w: AnyPrecLinear, oa: str) -> AnyPrecLinear:
+    if oa == "tp":  # column parallel: shard N
+        qspec = P(None, None, "tp", None)   # [L, bits, N, K/32]
+        wspec = P(None, "tp", None)         # [L, N, K_pad*bits/32]
+        lspec = {b: P(None, "tp", None) for b in w.luts}
+    else:  # row parallel: shard packed K
+        qspec = P(None, None, None, "tp")
+        wspec = P(None, None, "tp")
+        lspec = {b: P(None, None, None) for b in w.luts}
+    cspec = P(None, "tp", None) if oa == "tp" else P(None, None, None)
+    rspec = P(None, "tp") if oa == "tp" else P(None, None)  # [L, N] rows
+    if w.qwords is None:
+        wq = None
+    elif isinstance(w.qwords, tuple):  # composite-width field arrays
+        wq = tuple(wspec for _ in w.qwords)
+    else:
+        wq = wspec
+    return AnyPrecLinear(
+        qweight=qspec, luts=lspec, bias=None if w.bias is None else P(None),
+        qwords=wq,
+        pcoef=None if w.pcoef is None else cspec,
+        gpoly=None if w.gpoly is None else cspec,
+        srow=None if w.srow is None else rspec,
+        mrow=None if w.mrow is None else rspec,
+        precision=w.precision, out_features=w.out_features,
+        in_features=w.in_features)
+
+
 def quantized_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
-    """Specs for a packed model (AnyPrecLinear leaves)."""
-    layers: Dict[str, Any] = {
-        "attn_norm": P(None, None),
-        "mlp_norm": P(None, None),
-    }
-    for m, (oa, ia) in MODULE_PARTITION.items():
-        w: AnyPrecLinear = params["layers"][m]
-        if oa == "tp":  # column parallel: shard N
-            qspec = P(None, None, "tp", None)   # [L, bits, N, K/32]
-            wspec = P(None, "tp", None)         # [L, N, K_pad*bits/32]
-            lspec = {b: P(None, "tp", None) for b in w.luts}
-        else:  # row parallel: shard packed K
-            qspec = P(None, None, None, "tp")
-            wspec = P(None, None, "tp")
-            lspec = {b: P(None, None, None) for b in w.luts}
-        cspec = P(None, "tp", None) if oa == "tp" else P(None, None, None)
-        layers[m] = AnyPrecLinear(
-            qweight=qspec, luts=lspec, bias=None if w.bias is None else P(None),
-            qwords=None if w.qwords is None else wspec,
-            pcoef=None if w.pcoef is None else cspec,
-            precision=w.precision, out_features=w.out_features,
-            in_features=w.in_features)
+    """Specs for a packed model (AnyPrecLinear leaves; fused or unfused,
+    Int8Linear head supported)."""
+    from ..nn.linear import Int8Linear
+    part = {**MODULE_PARTITION, **_FUSED_PARTITION}
+    layers: Dict[str, Any] = {}
+    for name, w in params["layers"].items():
+        if isinstance(w, AnyPrecLinear):
+            oa, _ia = part.get(name, _COL)
+            layers[name] = _anyprec_spec(w, oa)
+        elif isinstance(w, Int8Linear):
+            oa, ia = part.get(name, _COL)
+            layers[name] = Int8Linear(
+                q=P(None, oa if oa == "tp" else None,
+                    "tp" if oa != "tp" else None),
+                scale=P(None, "tp") if oa == "tp" else P(None, None),
+                out_features=w.out_features, in_features=w.in_features)
+        else:
+            layers[name] = P()  # norms etc.: replicated
     specs: Dict[str, Any] = {
         "embed": P("fsdp", None),
         "layers": layers,
-        "final_norm": P(None),
+        "final_norm": P(),
     }
     if "lm_head" in params:
-        specs["lm_head"] = P("tp", "fsdp")
+        w = params["lm_head"]
+        if isinstance(w, Int8Linear):
+            specs["lm_head"] = Int8Linear(
+                q=P("tp", "fsdp"), scale=P("tp"),
+                out_features=w.out_features, in_features=w.in_features)
+        else:
+            specs["lm_head"] = P("tp", "fsdp")
     return specs
 
 

@@ -172,13 +172,29 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: ModelConfig, slots: int = 4,
                  max_seq: int = 512, eos_id: Optional[int] = None,
-                 kv_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16, mesh=None):
+        if mesh is not None:
+            # tp-shard the packed weights over the mesh; the slot cache
+            # shards kv-heads on 'tp' (multi-chip continuous batching —
+            # green-field vs the reference's single-GPU batch-1 serving).
+            from ..parallel import sharding as shd
+            specs = shd.quantized_param_specs(cfg, params)
+            params = shd.shard_params(mesh, params, specs)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.eos_id = eos_id
         self.state = init_slots(cfg, cfg.num_layers, slots, max_seq,
                                 dtype=kv_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel import sharding as shd
+            sh = NamedSharding(mesh, shd.kv_cache_spec())
+            self.state = SlotState(
+                k=jax.device_put(self.state.k, sh),
+                v=jax.device_put(self.state.v, sh),
+                pos=self.state.pos)
         self.max_seq = max_seq
         self.queue: List[Request] = []
         self.slot_req: List[Optional[Request]] = [None] * slots

@@ -311,7 +311,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              max_new_tokens: int, max_seq: Optional[int] = None,
              temperature: float = 0.0, top_k: Optional[int] = None,
              kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
-             seed: int = 0,
+             seed: int = 0, kv_sharding=None,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Generate loop with gpt-fast-style metrics (tok/s; reference
     generate.py:145-186, 374-381). Decode runs device-side in
@@ -322,7 +322,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     L = cfg.num_layers
     max_seq = max_seq or min(cfg.max_seq_len, S + max_new_tokens)
     state = init_state(cfg, L, B, max_seq, dtype=kv_dtype, kv_bits=kv_bits,
-                       r3=r3)
+                       r3=r3, sharding=kv_sharding)
     key = jax.random.PRNGKey(seed)
 
     t0 = time.perf_counter()

@@ -34,8 +34,14 @@ def _concat_linears(ws, axis_n: int):
         pcoef = None
         gpoly = srow = mrow = None
         if all(w.qwords is not None for w in ws):
-            qwords = jnp.concatenate([w.qwords for w in ws], axis=axis_n)
-            pcoef = jnp.concatenate([w.pcoef for w in ws], axis=axis_n)
+            if isinstance(first.qwords, tuple):  # composite-width fields
+                qwords = tuple(
+                    jnp.concatenate([w.qwords[i] for w in ws], axis=axis_n)
+                    for i in range(len(first.qwords)))
+            else:
+                qwords = jnp.concatenate([w.qwords for w in ws], axis=axis_n)
+            if all(w.pcoef is not None for w in ws):
+                pcoef = jnp.concatenate([w.pcoef for w in ws], axis=axis_n)
         if all(w.gpoly is None and w.srow is not None for w in ws):
             # affine family: rows concatenate freely (gpoly stays None so
             # the dispatcher keeps the affine kernel path)

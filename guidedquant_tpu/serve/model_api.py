@@ -15,10 +15,11 @@ import jax.numpy as jnp
 
 
 class QuantizedCausalLM:
-    def __init__(self, cfg, params, backend: str = "anyprec"):
+    def __init__(self, cfg, params, backend: str = "anyprec", mesh=None):
         self.cfg = cfg
         self.params = params
         self.backend = backend
+        self.mesh = mesh
         self._fused = None
 
     # -- loading -----------------------------------------------------------
@@ -26,7 +27,7 @@ class QuantizedCausalLM:
     @classmethod
     def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
                        dtype=jnp.bfloat16, fuse: bool = True,
-                       int8_head: bool = False):
+                       int8_head: bool = False, mesh=None):
         import os
         from ..utils.cache import load_json
         meta = load_json(os.path.join(model_dir, "config.json"))
@@ -45,15 +46,35 @@ class QuantizedCausalLM:
             params = dict(params)
             params["lm_head"] = quantize_int8(head)
             cfg = cfg.replace(tie_word_embeddings=False)
-        obj = cls(cfg, params, backend)
+        obj = cls(cfg, params, backend, mesh=mesh)
         if fuse:
             obj.fuse()
+        if mesh is not None:
+            obj.shard(mesh)
         return obj
 
     def fuse(self):
         from .fuse import fusable, fuse_projections
         if self._fused is None and fusable(self.params):
             self._fused = fuse_projections(self.params)
+        return self
+
+    def shard(self, mesh):
+        """tp/fsdp-shard the serving params over the mesh (GSPMD; the
+        multi-chip serving path — no reference counterpart, BASELINE
+        north-star). Call ``parallel.distributed.init_distributed`` first
+        on multi-host."""
+        from ..parallel import sharding
+        if self.backend != "anyprec":
+            raise NotImplementedError("mesh sharding: anyprec backend only")
+        self.mesh = mesh
+        target = self._fused if self._fused is not None else self.params
+        specs = sharding.quantized_param_specs(self.cfg, target)
+        sharded = sharding.shard_params(mesh, target, specs)
+        if self._fused is not None:
+            self._fused = sharded
+        else:
+            self.params = sharded
         return self
 
     # -- runtime precision switch (anyprec only) ---------------------------
@@ -79,9 +100,15 @@ class QuantizedCausalLM:
                  kv_bits: int = 16, r3: bool = False, seed: int = 0):
         from . import engine
         params = self._fused if self._fused is not None else self.params
+        kv_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel import sharding as shd
+            kv_sharding = NamedSharding(self.mesh, shd.kv_cache_spec())
         return engine.generate(params, self.cfg, prompt_ids, max_new_tokens,
                                temperature=temperature, top_k=top_k,
-                               kv_bits=kv_bits, r3=r3, seed=seed)
+                               kv_bits=kv_bits, r3=r3, seed=seed,
+                               kv_sharding=kv_sharding)
 
     def forward(self, tokens: np.ndarray):
         from ..models import llama

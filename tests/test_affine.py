@@ -38,7 +38,9 @@ def test_fit_affine_general_reports_error(rng):
     assert relerr > 1e-3  # arbitrary luts are NOT in the family
 
 
-@pytest.mark.parametrize("bits,B", [(1, 1), (2, 1), (2, 4), (4, 1)])
+@pytest.mark.parametrize("bits,B", [(1, 1), (2, 1), (2, 4), (4, 1),
+                                    (3, 1), (3, 2), (5, 1), (6, 1), (7, 1),
+                                    (8, 1), (2, 16)])
 def test_affine_kernel_matches_oracle(bits, B, rng):
     from jax.experimental.pallas import tpu as pltpu
     TK = tile_k_for(bits)
@@ -47,13 +49,43 @@ def test_affine_kernel_matches_oracle(bits, B, rng):
     codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
     lut, s, m = _affine_luts(rng, N, C)
     x = rng.normal(size=(B, K)).astype(np.float32)
-    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    packed = pack_lane_tiled(codes, bits)
+    words = (tuple(jnp.asarray(p) for p in packed)
+             if isinstance(packed, tuple) else jnp.asarray(packed))
     ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
     with pltpu.force_tpu_interpret_mode():
         y = lut_matmul_affine(jnp.asarray(x), words, jnp.asarray(s),
                               jnp.asarray(m), bits, tile_n=128)
     scale = np.abs(ref).max() + 1e-6
-    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+    # wide grids accumulate bf16 code-value rounding; scale tolerance
+    atol = 2e-2 if bits <= 4 else 4e-2
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=atol)
+
+
+def test_with_kernel_layout_engages_affine_3bit(rng):
+    """3-bit uniform grids engage the composite-field affine kernel and the
+    forward matches the dequant oracle (VERDICT item 4: 3-bit fused)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from guidedquant_tpu.nn.linear import (
+        AnyPrecLinear, with_kernel_layout, apply_linear, dequantize_anyprec)
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 3, 128, 96
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    q = pack_bitplanes(codes, bits)
+    w = AnyPrecLinear(qweight=jnp.asarray(q), luts={bits: jnp.asarray(lut)},
+                      precision=bits, out_features=N, in_features=K)
+    w2 = with_kernel_layout(w)
+    assert w2.srow is not None and isinstance(w2.qwords, tuple)
+    assert w2.pcoef is None
+    x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+    ref = x @ dequantize_anyprec(w).T
+    with pltpu.force_tpu_interpret_mode():
+        y = apply_linear(w2, x)
+    scale = float(jnp.abs(ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, np.asarray(ref) / scale,
+                               atol=2e-2)
 
 
 def test_affine_flex_pads_k(rng):

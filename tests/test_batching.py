@@ -57,3 +57,63 @@ def test_batcher_eos_stops(model):
     done = b.run()
     assert done[rid].out[-1] == second
     assert len(done[rid].out) == 2
+
+
+def test_batcher_mesh_sharded_matches_unsharded(model):
+    """Continuous batching with tp-sharded packed weights on the 8-device
+    mesh reproduces the unsharded batcher exactly (VERDICT #5: mesh-aware
+    serving engine)."""
+    from guidedquant_tpu.models import get_config
+    from guidedquant_tpu.parallel import make_mesh
+    from __graft_entry__ import _build_quantized_llama
+
+    cfg = get_config("tiny").replace(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=8, num_kv_heads=8, max_seq_len=64)
+    qparams = _build_quantized_llama(cfg, 0, bits=4, family="affine",
+                                     dtype=jnp.float32)
+    prompts = [np.array([3, 14, 15, 92], np.int32),
+               np.array([7, 1], np.int32)]
+    lens = [5, 7]
+
+    b_ref = ContinuousBatcher(qparams, cfg, slots=2, max_seq=64,
+                              kv_dtype=jnp.float32)
+    ids_ref = [b_ref.submit(p, n) for p, n in zip(prompts, lens)]
+    ref = b_ref.run()
+
+    mesh = make_mesh(8, shape={"dp": 2, "fsdp": 1, "tp": 4})
+    with mesh:
+        b = ContinuousBatcher(qparams, cfg, slots=2, max_seq=64,
+                              kv_dtype=jnp.float32, mesh=mesh)
+        ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+        done = b.run()
+    for rid_r, rid in zip(ids_ref, ids):
+        assert done[rid].out == ref[rid_r].out, (done[rid].out, ref[rid_r].out)
+
+
+def test_model_api_shard_generate(tmp_path):
+    """from_quantized(mesh=...) shards the serving params and generate
+    matches the unsharded output."""
+    from guidedquant_tpu.models import get_config
+    from guidedquant_tpu.parallel import make_mesh
+    from guidedquant_tpu.serve.model_api import QuantizedCausalLM
+    from __graft_entry__ import _build_quantized_llama
+
+    cfg = get_config("tiny").replace(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=8, num_kv_heads=8, max_seq_len=64)
+    qparams = _build_quantized_llama(cfg, 0, bits=4, family="affine",
+                                     dtype=jnp.float32)
+    prompt = np.array([[5, 9, 3]], np.int32)
+
+    lm = QuantizedCausalLM(cfg, qparams)
+    lm.fuse()
+    out_ref, _ = lm.generate(prompt, max_new_tokens=6)
+
+    mesh = make_mesh(8, shape={"dp": 1, "fsdp": 2, "tp": 4})
+    lm2 = QuantizedCausalLM(cfg, qparams)
+    lm2.fuse()
+    with mesh:
+        lm2.shard(mesh)
+        out, _ = lm2.generate(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(out, out_ref)

@@ -27,6 +27,30 @@ def test_lane_tiled_roundtrip(bits, rng):
     np.testing.assert_array_equal(unpack_lane_tiled_np(words, bits, K), codes)
 
 
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_lane_tiled_roundtrip_composite(bits, rng):
+    """Composite widths pack as MSB-first per-field word arrays."""
+    from guidedquant_tpu.ops.lut_kernels import fields_for
+    TK = tile_k_for(bits)
+    N, K = 8, 2 * TK
+    codes = rng.integers(0, 2 ** bits, size=(N, K), dtype=np.uint8)
+    words = pack_lane_tiled(codes, bits)
+    assert isinstance(words, tuple) and len(words) == len(fields_for(bits))
+    for w_f, f in zip(words, fields_for(bits)):
+        assert w_f.shape == (N, K * f // 32)
+    np.testing.assert_array_equal(unpack_lane_tiled_np(words, bits, K), codes)
+
+
+def test_composite_fields_preserve_anyprec_prefix(rng):
+    """The 2-bit field of the 3-bit pack must equal the 2-bit MSB-prefix
+    code (the any-precision property carried into the kernel layout)."""
+    from guidedquant_tpu.ops.lut_kernels import split_fields
+    codes = rng.integers(0, 8, size=(4, 64), dtype=np.uint8)
+    f2, f1 = split_fields(codes, 3)
+    np.testing.assert_array_equal(f2, codes >> 1)
+    np.testing.assert_array_equal(f1, codes & 1)
+
+
 def test_pad_to_tiles(rng):
     codes = rng.integers(0, 4, size=(4, 100), dtype=np.uint8)
     padded, K_pad = pad_to_tiles(codes, 2)
