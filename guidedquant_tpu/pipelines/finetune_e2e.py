@@ -185,6 +185,29 @@ def full_nuq_finetune(packed_params, cfg: ModelConfig, teacher_params,
     if "lm_head" in packed_params:
         static_params["lm_head"] = packed_params["lm_head"]
 
+    if mesh is not None:
+        # GSPMD-shard the KD step (replaces the reference's FSDP/NCCL
+        # machinery, full_main.py:713-793): latent/lut masters tp+fsdp
+        # sharded, teacher fsdp/tp sharded, batch on the dp axis. The
+        # optimizer state inherits the train-state sharding from init.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import sharding as shd
+        assert batch_size % mesh.shape[dp_axis] == 0, (
+            f"batch_size {batch_size} must divide by "
+            f"{dp_axis}={mesh.shape[dp_axis]}")
+        ts_specs = {
+            "latent": {m: P(None, "tp", "fsdp") for m in cfg.module_names},
+            "luts": {m: P(None, "tp", None) for m in cfg.module_names},
+        }
+        train_state = shd.shard_params(mesh, train_state, ts_specs)
+        teacher_params = shd.shard_params(
+            mesh, teacher_params, shd.dense_param_specs(cfg))
+        static_params = jax.device_put(
+            static_params, NamedSharding(mesh, P()))
+        _token_sharding = NamedSharding(mesh, P(dp_axis, None))
+    else:
+        _token_sharding = None
+
     optimizer = optax.adamw(lr)
     opt_state = optimizer.init(train_state)
 
@@ -201,12 +224,17 @@ def full_nuq_finetune(packed_params, cfg: ModelConfig, teacher_params,
 
     N = tokens.shape[0]
     history = []
+    from contextlib import nullcontext
+    mesh_ctx = mesh if mesh is not None else nullcontext()
     for step in range(start_step, steps):
         idx = (step * batch_size) % max(N - batch_size + 1, 1)
         batch = jnp.asarray(tokens[idx:idx + batch_size])
-        loss, train_state, opt_state = step_fn(
-            train_state, opt_state, static_params, teacher_params,
-            cfg=cfg, tokens=batch)
+        if _token_sharding is not None:
+            batch = jax.device_put(batch, _token_sharding)
+        with mesh_ctx:
+            loss, train_state, opt_state = step_fn(
+                train_state, opt_state, static_params, teacher_params,
+                cfg=cfg, tokens=batch)
         history.append(float(loss))
         if step % 10 == 0:
             logger.info("full_nuq step %d: KL %.5f", step, float(loss))
@@ -238,7 +266,8 @@ def repack_student(params, cfg: ModelConfig, new_codes, new_luts, bits: int):
         luts = dict(w.luts)
         luts[bits] = jnp.asarray(new_luts[m], w.luts[bits].dtype)
         layers[m] = w.replace(qweight=jnp.asarray(qw), luts=luts,
-                              qwords=None, pcoef=None)
+                              qwords=None, pcoef=None, gpoly=None,
+                              srow=None, mrow=None)
     out = dict(params)
     out["layers"] = layers
     return out

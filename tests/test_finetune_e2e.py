@@ -85,3 +85,20 @@ def test_finetune_checkpoint_resume(packed_setup, tmp_path):
                                    steps=15, lr=3e-3,
                                    checkpoint_path=ckpt, save_every=5)
     assert len(h2) == 5  # only steps 10..14 executed
+
+
+def test_full_nuq_mesh_matches_single_device(packed_setup):
+    """full_nuq_finetune(mesh=...) must produce the same loss trajectory as
+    the single-device run (VERDICT item 6: the mesh argument is real)."""
+    from guidedquant_tpu.parallel import make_mesh
+    cfg, teacher, qcfg, qparams, tokens = packed_setup
+    # tiny dims: hidden 32 / kv 2 — shard tp=2, dp=2
+    mesh = make_mesh(4, shape={"dp": 2, "fsdp": 1, "tp": 2},
+                     devices=jax.devices()[:4])
+    _, _, hist_ref = full_nuq_finetune(
+        qparams, qcfg, teacher, tokens, bits=2, steps=6, batch_size=2,
+        lr=3e-3)
+    _, _, hist_mesh = full_nuq_finetune(
+        qparams, qcfg, teacher, tokens, bits=2, steps=6, batch_size=2,
+        lr=3e-3, mesh=mesh)
+    np.testing.assert_allclose(hist_mesh, hist_ref, rtol=2e-4, atol=1e-5)
