@@ -43,6 +43,11 @@ class TrellisLinear:
     # Pallas decode+matmul (ops/trellis_kernel.py); requires a compute
     # decode_mode ("2mad"/"tpu2u")
     kwords: Optional[jnp.ndarray] = None
+    # trainable per-module k-means table [(L,) 2^tlut_bits, V] for
+    # quantlut_sym (the E2E SU/SV/tlut finetune path, reference
+    # qtip/quantize_llama/finetune.py:461-548): when set, hatW is decoded
+    # traceably from (trellis, tlut) so gradients reach the table.
+    tlut: Optional[jnp.ndarray] = None
     cycle: int = struct.field(pytree_node=False, default=256)
     # NOTE: the tlut lives in the BitshiftCodebook (host side); it is shared
     # across layers and must not be a stacked pytree leaf.
@@ -126,10 +131,43 @@ def unpack_trellis_states_jnp(packed: jnp.ndarray, T: int, L: int, K: int,
     return states.astype(jnp.int32)  # [B, Tv]
 
 
+def _quantlut_tables(L: int, tlut_bits: int):
+    """Static (idx, sign) tables of the quantlut_sym hash (codebook
+    _hash_lut_index); cached per (L, tlut_bits)."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=8)
+    def _tab(L_, tb_):
+        from ..solvers.qtip.codebook import _hash_lut_index
+        idx, sflip = _hash_lut_index(L_, tb_, sym=True)
+        return (np.asarray(idx, np.int32), np.asarray(sflip, np.float32))
+
+    return _tab(L, tlut_bits)
+
+
+def decode_tlut_dense_jnp(w: TrellisLinear) -> jnp.ndarray:
+    """Traceable dense decode as a function of the trainable tlut leaf
+    (quantlut_sym): states -> hashed index -> tlut gather -> sign flip.
+    Gradients flow to w.tlut."""
+    assert w.decode_mode == "quantlut_sym", w.decode_mode
+    T = w.td_x * w.td_y
+    states = unpack_trellis_states_jnp(w.trellis, T, w.L_bits, w.K, w.V)
+    idx_t, sflip_t = _quantlut_tables(w.L_bits, w.tlut_bits)
+    idx = jnp.take(jnp.asarray(idx_t), states)          # [B_tiles, Tv]
+    sflip = jnp.take(jnp.asarray(sflip_t), states)
+    vals = jnp.take(w.tlut, idx, axis=0)                # [B_tiles, Tv, V]
+    vals = vals.at[..., 0].multiply(sflip)
+    tiles = vals.reshape(-1, T)                         # (tv, v) row-major
+    m, n = w.out_features, w.in_features
+    t4 = tiles.reshape(m // w.td_x, n // w.td_y, w.td_x, w.td_y)
+    return t4.transpose(0, 2, 1, 3).reshape(m, n)
+
+
 def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
     """Forward. Decode-path priority (mirrors the reference's kernel
     dispatch, qtip/lib/linear/quantized_linear.py:445-455):
 
+    0. trainable tlut leaf -> traceable tlut decode (E2E finetune path);
     1. column-cyclic kernel words + few tokens -> fused Pallas decode+matvec;
     2. column-cyclic kernel words + many tokens (prefill) -> Pallas dequant to
        dense + MXU matmul (on CPU: traceable XLA decode);
@@ -138,7 +176,10 @@ def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
     """
     t = matmul_hadUt(x * w.SU.astype(x.dtype))
     m, n = w.out_features, w.in_features
-    if w.kwords is not None:
+    if w.tlut is not None:
+        hatW = decode_tlut_dense_jnp(w).astype(x.dtype)
+        y = jnp.einsum("...k,nk->...n", t, hatW)
+    elif w.kwords is not None:
         from ..ops import trellis_kernel as tk
         assert w.decode_mode in tk.KERNEL_MODES, w.decode_mode
         if tk.supported(t, w.kwords, w.decode_mode):
@@ -182,7 +223,9 @@ def effective_dense_weight(w: TrellisLinear) -> np.ndarray:
     """Materialize W_eff with  y = x @ W_eff^T  ==  apply_trellis(x)
     (for tests / fake-packing)."""
     m, n = w.out_features, w.in_features
-    if w.hatW is not None:
+    if w.tlut is not None:
+        hatW = np.asarray(decode_tlut_dense_jnp(w), np.float32)
+    elif w.hatW is not None:
         hatW = np.asarray(w.hatW, np.float32)
     else:
         from ..ops.trellis_kernel import decode_kwords_traceable

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--num_examples", type=int, default=1024)
     p.add_argument("--num_groups", type=int, default=1)
     p.add_argument("--is_nosal", action="store_true")
+    p.add_argument("--e2e_steps", type=int, default=0,
+                   help="whole-model SU/SV/tlut KD finetune steps after "
+                        "packing (reference finetune_susv_e2e)")
+    p.add_argument("--e2e_lr", type=float, default=1e-4)
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -43,6 +47,31 @@ def main():
         num_examples=args.num_examples, num_groups=args.num_groups,
         is_nosal=args.is_nosal, tokenizer=tokenizer)
     print(out)
+
+    if args.e2e_steps and args.mode == "pack":
+        import numpy as np
+        import jax.numpy as jnp
+        from guidedquant_tpu.formats import qtip_format
+        from guidedquant_tpu.models.hf_import import load_hf_model
+        from guidedquant_tpu.pipelines.qtip_e2e import (
+            qtip_e2e_finetune, finalize_qtip_params)
+        from guidedquant_tpu.solvers.qtip.codebook import BitshiftCodebook
+        from guidedquant_tpu.calib import data as data_util
+
+        qcfg, qparams = qtip_format.load_packed(out, dtype=jnp.float32)
+        cb = BitshiftCodebook(L=args.L, K=args.K, V=args.V,
+                              tlut_bits=args.tlut_bits,
+                              decode_mode=args.decode_mode)
+        _, teacher = load_hf_model(args.model)
+        tokens = data_util.get_tokens(
+            args.dataset, "train", tokenizer, args.seq_len,
+            args.num_examples,
+            save_path=f"{args.cache_dir}/tokens/e2e.npy")
+        tuned, hist = qtip_e2e_finetune(
+            qparams, qcfg, teacher, np.asarray(tokens), cb=cb,
+            steps=args.e2e_steps, lr=args.e2e_lr)
+        tuned = finalize_qtip_params(tuned, qcfg)
+        print(f"e2e KD: {hist[0]:.5f} -> {hist[-1]:.5f}")
 
 
 if __name__ == "__main__":
