@@ -66,10 +66,10 @@ def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
         taps = llama.make_taps(cfg, hi - lo, 1, S)
         wg, tg = jax.grad(_loss_fn, argnums=(0, 1))(
             params, taps, cfg, tok[None], tap_range or (0, L))
-        proj = {m: wg["layers"][m] for m in llama.MODULE_NAMES}
+        proj = {m: wg["layers"][m] for m in cfg.module_names}
         gsq1 = jax.tree_util.tree_map(
             lambda g: g.astype(jnp.float32) ** 2, proj)
-        sal1 = {m: tg[m][:, 0] for m in llama.MODULE_NAMES}  # [Lt, S, out]
+        sal1 = {m: tg[m][:, 0] for m in cfg.module_names}  # [Lt, S, out]
         return gsq1, sal1
 
     gsq_b, sal_b = jax.vmap(per_seq)(tokens)
@@ -83,7 +83,7 @@ def gradient_step(params, cfg: ModelConfig, tokens: jnp.ndarray,
         g = g.reshape(*g.shape[:-1], num_groups, gs).mean(axis=-1)
         return jnp.moveaxis(g, 0, 1)
 
-    saliency = {m: group_sal(sal_b[m]) for m in llama.MODULE_NAMES}
+    saliency = {m: group_sal(sal_b[m]) for m in cfg.module_names}
     return gsq, saliency
 
 
@@ -139,7 +139,7 @@ def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
 
     gradients = []
     for l in range(L):
-        gradients.append({m: np.asarray(acc_gsq[m][l]) for m in llama.MODULE_NAMES})
+        gradients.append({m: np.asarray(acc_gsq[m][l]) for m in cfg.module_names})
 
     saliency = None
     if compute_saliency:
@@ -150,7 +150,7 @@ def get_gradients(params, cfg: ModelConfig, tokens: np.ndarray,
                 saliency.append(None)
                 continue
             layer = {}
-            for m in llama.MODULE_NAMES:
+            for m in cfg.module_names:
                 # [L_tapped, B, S, G] chunks -> concat batch -> [N, S, G]
                 layer[m] = np.concatenate(
                     [c[m][l - lo] for c in sal_chunks], axis=0)

@@ -49,6 +49,15 @@ class ModelConfig:
     rope_local_theta: float = 0.0    # sliding layers' rope theta (0 = n/a)
     sliding_window: int = 0          # local attention window (0 = global)
     layer_types: Tuple[str, ...] = ()  # per-layer "sliding"/"global" pattern
+    # OPT/Phi-family structure (defaults = Llama semantics)
+    norm_type: str = "rms"           # "rms" | "ln" (LayerNorm with bias)
+    mlp_type: str = "gated"          # "gated" (gate/up/down) | "fc" (fc1/fc2)
+    pos_embed_type: str = "rope"     # "rope" | "learned" (OPT)
+    pos_offset: int = 0              # OPT learned-position offset (2)
+    linear_bias: bool = False        # attention/MLP linears carry biases
+    parallel_block: bool = False     # Phi: attn+MLP share one input LN
+    partial_rotary_factor: float = 1.0  # Phi: rope on first fraction of Dh
+    lm_head_bias: bool = False       # Phi lm_head carries a bias
     max_seq_len: int = 4096
     # Quantization-pipeline metadata (analog of the arch YAMLs:
     # reference any_precision/analyzer/architectures/llama.yaml).
@@ -73,9 +82,10 @@ class ModelConfig:
     def num_params(self, include_embeddings: bool = True) -> int:
         """Parameter count (for bandwidth/FLOPs accounting in benchmarks)."""
         d, f = self.hidden_size, self.intermediate_size
+        mlp_w = 2 * d * f if self.mlp_type == "fc" else 3 * d * f
         per_layer = (
             d * self.q_dim + 2 * d * self.kv_dim + self.q_dim * d  # attn
-            + 3 * d * f  # mlp
+            + mlp_w
             + 2 * d  # norms
         )
         n = self.num_layers * per_layer + d
@@ -168,6 +178,26 @@ CONFIGS = {
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         rope_theta=10000.0, rms_norm_eps=1e-5, max_seq_len=8192,
         arch="mistral"),
+    # OPT family (reference architectures/opt.yaml): pre-LN LayerNorm with
+    # bias, learned positions (offset 2), ReLU fc MLP, biased linears.
+    "opt-1.3b": ModelConfig(
+        name="opt-1.3b", vocab_size=50272, hidden_size=2048,
+        intermediate_size=8192, num_layers=24, num_heads=32, num_kv_heads=32,
+        rms_norm_eps=1e-5, norm_type="ln", mlp_type="fc",
+        pos_embed_type="learned", pos_offset=2, linear_bias=True,
+        hidden_act="relu", tie_word_embeddings=True, max_seq_len=2048,
+        arch="opt",
+        module_names=("q_proj", "k_proj", "v_proj", "o_proj", "fc1", "fc2")),
+    # Phi-2 (reference architectures/phi.yaml): parallel attn+MLP block,
+    # partial rotary, LayerNorm, gelu fc MLP, biased linears + head bias.
+    "phi-2": ModelConfig(
+        name="phi-2", vocab_size=51200, hidden_size=2560,
+        intermediate_size=10240, num_layers=32, num_heads=32, num_kv_heads=32,
+        rope_theta=10000.0, rms_norm_eps=1e-5, norm_type="ln", mlp_type="fc",
+        linear_bias=True, parallel_block=True, partial_rotary_factor=0.4,
+        hidden_act="gelu_tanh", lm_head_bias=True, max_seq_len=2048,
+        arch="phi",
+        module_names=("q_proj", "k_proj", "v_proj", "o_proj", "fc1", "fc2")),
     # Small configs for tests and CI.
     "tiny": ModelConfig(
         name="tiny", vocab_size=256, hidden_size=64, intermediate_size=128,

@@ -20,8 +20,62 @@ import jax.numpy as jnp
 from .config import ModelConfig, RopeScaling
 
 
+_FC_MODULES = ("q_proj", "k_proj", "v_proj", "o_proj", "fc1", "fc2")
+
+
 def config_from_hf(hf_config) -> ModelConfig:
-    """Build a ModelConfig from a transformers LlamaConfig-like object."""
+    """Build a ModelConfig from a transformers config object.
+
+    Covers the reference's architecture-YAML registry (llama/qwen3/gemma3/
+    mistral/opt/phi, ``any_precision/analyzer/architectures/*.yaml``); any
+    other rope+gated-MLP model_type falls through to Llama semantics — the
+    analog of ``AutoArchConfig`` (``analyzer.py:139-173``).
+    """
+    arch0 = getattr(hf_config, "model_type", "llama")
+    name = getattr(hf_config, "name_or_path", "hf-import") or "hf-import"
+    if arch0 == "opt":
+        # Pre-LN OPT only (125m/1.3b+); 350m's post-LN + embed projection
+        # is out of scope, as in the reference's opt.yaml.
+        assert getattr(hf_config, "do_layer_norm_before", True), \
+            "post-LayerNorm OPT variants unsupported"
+        assert getattr(hf_config, "word_embed_proj_dim",
+                       hf_config.hidden_size) == hf_config.hidden_size, \
+            "OPT word_embed_proj_dim != hidden_size unsupported"
+        return ModelConfig(
+            arch="opt", name=name, norm_type="ln", mlp_type="fc",
+            pos_embed_type="learned", pos_offset=2,
+            linear_bias=getattr(hf_config, "enable_bias", True),
+            hidden_act=hf_config.activation_function,
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.ffn_dim,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", True),
+            max_seq_len=hf_config.max_position_embeddings,
+            module_names=_FC_MODULES)
+    if arch0 == "phi":
+        act = hf_config.hidden_act
+        return ModelConfig(
+            arch="phi", name=name, norm_type="ln", mlp_type="fc",
+            linear_bias=True, parallel_block=True, lm_head_bias=True,
+            partial_rotary_factor=getattr(hf_config, "partial_rotary_factor",
+                                          0.5),
+            hidden_act="gelu_tanh" if act.startswith("gelu") else act,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rms_norm_eps=getattr(hf_config, "layer_norm_eps", 1e-5),
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+            or hf_config.num_attention_heads,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            max_seq_len=hf_config.max_position_embeddings,
+            module_names=_FC_MODULES)
     rs = None
     raw = getattr(hf_config, "rope_scaling", None)
     if raw:
@@ -92,6 +146,20 @@ _LAYER_KEYS = {
     "mlp_norm": "post_attention_layernorm.weight",
 }
 
+# Per-arch HF module paths (without .weight/.bias suffix).
+_OPT_MODULES = {
+    "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj", "o_proj": "self_attn.out_proj",
+    "fc1": "fc1", "fc2": "fc2",
+    "attn_norm": "self_attn_layer_norm", "mlp_norm": "final_layer_norm",
+}
+_PHI_MODULES = {
+    "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj", "o_proj": "self_attn.dense",
+    "fc1": "mlp.fc1", "fc2": "mlp.fc2",
+    "attn_norm": "input_layernorm",
+}
+
 
 def _to_np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
@@ -105,38 +173,97 @@ def _to_np(t) -> np.ndarray:
 
 def params_from_state_dict(state: Dict[str, Any], cfg: ModelConfig,
                            dtype=jnp.float32) -> Dict[str, Any]:
-    """HF Llama state_dict (torch tensors or numpy) -> stacked pytree."""
+    """HF state_dict (torch tensors or numpy) -> stacked pytree."""
     def get(k):
         return _to_np(state[k])
 
     L = cfg.num_layers
-    keys = dict(_LAYER_KEYS)
-    if cfg.qk_norm:
-        keys["q_norm"] = "self_attn.q_norm.weight"
-        keys["k_norm"] = "self_attn.k_norm.weight"
-    if cfg.sandwich_norms:
-        # Gemma3 naming: input/post_attention are the attention sandwich,
-        # pre/post_feedforward the MLP sandwich
-        keys["post_attn_norm"] = "post_attention_layernorm.weight"
-        keys["mlp_norm"] = "pre_feedforward_layernorm.weight"
-        keys["post_mlp_norm"] = "post_feedforward_layernorm.weight"
+    if cfg.arch == "opt":
+        prefix, embed_key, final_norm_key = (
+            "model.decoder.layers.", "model.decoder.embed_tokens.weight",
+            "model.decoder.final_layer_norm.weight")
+        modules = dict(_OPT_MODULES)
+    elif cfg.arch == "phi":
+        prefix, embed_key, final_norm_key = (
+            "model.layers.", "model.embed_tokens.weight",
+            "model.final_layernorm.weight")
+        modules = dict(_PHI_MODULES)
+    else:
+        prefix, embed_key, final_norm_key = (
+            "model.layers.", "model.embed_tokens.weight", "model.norm.weight")
+        modules = None
+
+    keys = {}
+    if modules is not None:
+        for ours, theirs in modules.items():
+            keys[ours] = theirs + ".weight"
+            is_norm = ours.endswith("_norm")
+            if (is_norm and cfg.norm_type == "ln") or \
+                    (not is_norm and cfg.linear_bias):
+                keys[ours + "_bias"] = theirs + ".bias"
+    else:
+        keys = dict(_LAYER_KEYS)
+        if cfg.qk_norm:
+            keys["q_norm"] = "self_attn.q_norm.weight"
+            keys["k_norm"] = "self_attn.k_norm.weight"
+        if cfg.sandwich_norms:
+            # Gemma3 naming: input/post_attention are the attention sandwich,
+            # pre/post_feedforward the MLP sandwich
+            keys["post_attn_norm"] = "post_attention_layernorm.weight"
+            keys["mlp_norm"] = "pre_feedforward_layernorm.weight"
+            keys["post_mlp_norm"] = "post_feedforward_layernorm.weight"
     layers: Dict[str, Any] = {}
     for ours, theirs in keys.items():
         stacked = np.stack(
-            [get(f"model.layers.{i}.{theirs}") for i in range(L)], axis=0)
+            [get(f"{prefix}{i}.{theirs}") for i in range(L)], axis=0)
         layers[ours] = jnp.asarray(stacked, dtype)
 
     params: Dict[str, Any] = {
-        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "embed": jnp.asarray(get(embed_key), dtype),
         "layers": layers,
-        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+        "final_norm": jnp.asarray(get(final_norm_key), dtype),
     }
+    if cfg.norm_type == "ln":
+        params["final_norm_bias"] = jnp.asarray(
+            get(final_norm_key.replace(".weight", ".bias")), dtype)
+    if cfg.pos_embed_type == "learned":
+        params["pos_embed"] = jnp.asarray(
+            get("model.decoder.embed_positions.weight"), dtype)
     if not cfg.tie_word_embeddings:
         key = "lm_head.weight"
         if key not in state:  # some tied checkpoints omit it
-            key = "model.embed_tokens.weight"
+            key = embed_key
         params["lm_head"] = jnp.asarray(get(key), dtype)
+        if cfg.lm_head_bias:
+            params["lm_head_bias"] = jnp.asarray(get("lm_head.bias"), dtype)
     return params
+
+
+def autodetect_arch(state_keys) -> Dict[str, Any]:
+    """Scan a state_dict's keys for the decoder-layer prefix and the Linear
+    module names inside one layer — the TPU-build analog of the reference's
+    ``AutoArchConfig`` (``any_precision/analyzer/analyzer.py:139-173``),
+    which walks ``nn.Linear`` instances of an instantiated model.
+
+    Returns ``{"layers_prefix": str, "module_names": tuple}``.
+    """
+    import re
+    pat = re.compile(r"^(.*\.layers\.)0\.(.+)\.weight$")
+    prefix = None
+    modules = []
+    for k in state_keys:
+        m = pat.match(k)
+        if not m:
+            continue
+        prefix = m.group(1)
+        path = m.group(2)
+        leaf = path.split(".")[-1]
+        if "norm" in path.lower():
+            continue
+        modules.append(leaf)
+    if prefix is None:
+        raise ValueError("no '<...>.layers.N.' decoder structure found")
+    return {"layers_prefix": prefix, "module_names": tuple(modules)}
 
 
 def load_hf_model(model_or_path, dtype=jnp.float32):

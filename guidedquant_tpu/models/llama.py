@@ -38,31 +38,52 @@ MODULE_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
 # Init / parameter structure
 # ---------------------------------------------------------------------------
 
+def module_dims(cfg: ModelConfig) -> Dict[str, Tuple[int, int]]:
+    """{module: (out_features, in_features)} for cfg.module_names."""
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    dims = {"q_proj": (cfg.q_dim, d), "k_proj": (cfg.kv_dim, d),
+            "v_proj": (cfg.kv_dim, d), "o_proj": (d, cfg.q_dim)}
+    if cfg.mlp_type == "fc":
+        dims.update({"fc1": (f, d), "fc2": (d, f)})
+    else:
+        dims.update({"gate_proj": (f, d), "up_proj": (f, d),
+                     "down_proj": (d, f)})
+    return {m: dims[m] for m in cfg.module_names}
+
+
 def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     """Random-init parameters (for tests/benchmarks; real use imports HF)."""
-    d, f = cfg.hidden_size, cfg.intermediate_size
-    qd, kvd = cfg.q_dim, cfg.kv_dim
+    d = cfg.hidden_size
     L = cfg.num_layers
-    ks = jax.random.split(key, 10)
+    dims = module_dims(cfg)
+    ks = jax.random.split(key, len(dims) + 3)
 
     def w(k, shape, fan_in):
         return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
 
+    layers: Params = {
+        "attn_norm": jnp.ones((L, d), dtype),
+    }
+    for i, (m, (o, in_f)) in enumerate(dims.items()):
+        layers[m] = w(ks[i], (L, o, in_f), in_f)
+        if cfg.linear_bias:
+            layers[m + "_bias"] = jnp.zeros((L, o), dtype)
+    if not cfg.parallel_block:
+        layers["mlp_norm"] = jnp.ones((L, d), dtype)
+    if cfg.norm_type == "ln":
+        layers["attn_norm_bias"] = jnp.zeros((L, d), dtype)
+        if not cfg.parallel_block:
+            layers["mlp_norm_bias"] = jnp.zeros((L, d), dtype)
     params: Params = {
-        "embed": w(ks[0], (cfg.vocab_size, d), d),
-        "layers": {
-            "attn_norm": jnp.ones((L, d), dtype),
-            "mlp_norm": jnp.ones((L, d), dtype),
-            "q_proj": w(ks[1], (L, qd, d), d),
-            "k_proj": w(ks[2], (L, kvd, d), d),
-            "v_proj": w(ks[3], (L, kvd, d), d),
-            "o_proj": w(ks[4], (L, d, qd), qd),
-            "gate_proj": w(ks[5], (L, f, d), d),
-            "up_proj": w(ks[6], (L, f, d), d),
-            "down_proj": w(ks[7], (L, d, f), f),
-        },
+        "embed": w(ks[-3], (cfg.vocab_size, d), d),
+        "layers": layers,
         "final_norm": jnp.ones((d,), dtype),
     }
+    if cfg.norm_type == "ln":
+        params["final_norm_bias"] = jnp.zeros((d,), dtype)
+    if cfg.pos_embed_type == "learned":
+        params["pos_embed"] = w(ks[-2], (cfg.max_seq_len + cfg.pos_offset, d),
+                                d)
     if cfg.qk_norm:
         params["layers"]["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
         params["layers"]["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
@@ -70,7 +91,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
         params["layers"]["post_attn_norm"] = jnp.ones((L, d), dtype)
         params["layers"]["post_mlp_norm"] = jnp.ones((L, d), dtype)
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = w(ks[8], (cfg.vocab_size, d), d)
+        params["lm_head"] = w(ks[-1], (cfg.vocab_size, d), d)
+        if cfg.lm_head_bias:
+            params["lm_head_bias"] = jnp.zeros((cfg.vocab_size,), dtype)
     return params
 
 
@@ -88,7 +111,10 @@ def num_layers_of(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 def rope_inv_freq(cfg: ModelConfig) -> jnp.ndarray:
-    half = cfg.head_dim // 2
+    # Phi partial rotary: rope covers only the first fraction of head_dim
+    # (reference phi arch; HF rotary_ndims = partial_rotary_factor * head_dim).
+    rot_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
+    half = rot_dim // 2
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     rs = cfg.rope_scaling
     if rs is not None:
@@ -116,13 +142,23 @@ def rope_cos_sin(cfg: ModelConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray,
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x [B, S, H, Dh]; cos/sin [B, S, Dh] (HF rotate_half convention)."""
-    half = x.shape[-1] // 2
+    """x [B, S, H, Dh]; cos/sin [B, S, rot_dim] (HF rotate_half convention).
+
+    rot_dim < Dh (Phi partial rotary) leaves the trailing dims untouched.
+    """
+    rot_dim = cos.shape[-1]
+    x_pass = None
+    if rot_dim < x.shape[-1]:
+        x, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    half = rot_dim // 2
     x1, x2 = x[..., :half], x[..., half:]
     rot = jnp.concatenate([-x2, x1], axis=-1)
     c = cos[:, :, None, :].astype(x.dtype)
     s = sin[:, :, None, :].astype(x.dtype)
-    return x * c + rot * s
+    y = x * c + rot * s
+    if x_pass is not None:
+        y = jnp.concatenate([y, x_pass], axis=-1)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +176,41 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
     return (y * w).astype(x.dtype)
 
 
-def _norm(cfg: ModelConfig, x: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _norm(cfg: ModelConfig, x: jnp.ndarray, weight: jnp.ndarray,
+          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if cfg.norm_type == "ln":  # OPT/Phi LayerNorm (eps shares rms_norm_eps)
+        return layer_norm(x, weight, bias, cfg.rms_norm_eps)
     return rms_norm(x, weight, cfg.rms_norm_eps, cfg.norm_plus_one)
 
 
 def _act(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.hidden_act == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
+    if cfg.hidden_act == "relu":
+        return jax.nn.relu(x)
     return jax.nn.silu(x)
+
+
+def _lin(lp: Params, name: str, x: jnp.ndarray,
+         tap: Optional[Params] = None) -> jnp.ndarray:
+    """Apply a (possibly quantized) linear + optional bias + optional tap."""
+    y = apply_linear(lp[name], x)
+    b = lp.get(name + "_bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    if tap is not None:
+        y = y + tap[name]
+    return y
 
 
 def _attn_scale(cfg: ModelConfig) -> float:
@@ -161,25 +224,28 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
               kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
               cache_pos: Optional[jnp.ndarray] = None,
               capture: Optional[dict] = None,
+              tap: Optional[Params] = None,
               ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One attention block.
 
     kv: optional preallocated (k_cache, v_cache), each [B, S_max, KVH, Dh];
     cache_pos: [S] positions at which to write the new k/v.
+    cos/sin may be None (learned-position models — no RoPE).
     Returns (output, updated_kv).
     """
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = apply_linear(lp["q_proj"], x).reshape(B, S, H, Dh)
-    k = apply_linear(lp["k_proj"], x).reshape(B, S, KV, Dh)
-    v = apply_linear(lp["v_proj"], x).reshape(B, S, KV, Dh)
+    q = _lin(lp, "q_proj", x, tap).reshape(B, S, H, Dh)
+    k = _lin(lp, "k_proj", x, tap).reshape(B, S, KV, Dh)
+    v = _lin(lp, "v_proj", x, tap).reshape(B, S, KV, Dh)
 
     if cfg.qk_norm:  # per-head RMSNorm before RoPE (Qwen3/Gemma3)
         q = _norm(cfg, q, lp["q_norm"])
         k = _norm(cfg, k, lp["k_norm"])
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     if kv is not None:
         k_cache, v_cache = kv
@@ -205,18 +271,24 @@ def attention(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
 
     if capture is not None:
         capture["o_proj"] = ctx
-    out = apply_linear(lp["o_proj"], ctx)
+    out = _lin(lp, "o_proj", ctx, tap)
     return out, new_kv
 
 
 def mlp(lp: Params, x: jnp.ndarray, capture: Optional[dict] = None,
-        cfg: Optional[ModelConfig] = None) -> jnp.ndarray:
-    g = apply_linear(lp["gate_proj"], x)
-    u = apply_linear(lp["up_proj"], x)
+        cfg: Optional[ModelConfig] = None,
+        tap: Optional[Params] = None) -> jnp.ndarray:
+    if cfg is not None and cfg.mlp_type == "fc":  # OPT/Phi fc1→act→fc2
+        h = _act(cfg, _lin(lp, "fc1", x, tap))
+        if capture is not None:
+            capture["fc2"] = h
+        return _lin(lp, "fc2", h, tap)
+    g = _lin(lp, "gate_proj", x, tap)
+    u = _lin(lp, "up_proj", x, tap)
     h = (_act(cfg, g) if cfg is not None else jax.nn.silu(g)) * u
     if capture is not None:
         capture["down_proj"] = h
-    return apply_linear(lp["down_proj"], h)
+    return _lin(lp, "down_proj", h, tap)
 
 
 def decoder_layer(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
@@ -225,18 +297,28 @@ def decoder_layer(lp: Params, cfg: ModelConfig, x: jnp.ndarray,
                   kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   cache_pos: Optional[jnp.ndarray] = None,
                   capture: Optional[dict] = None,
+                  tap: Optional[Params] = None,
                   ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    h = _norm(cfg, x, lp["attn_norm"])
+    h = _norm(cfg, x, lp["attn_norm"], lp.get("attn_norm_bias"))
     if capture is not None:
         capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = h
-    attn_out, new_kv = attention(lp, cfg, h, cos, sin, mask, kv, cache_pos, capture)
+    attn_out, new_kv = attention(lp, cfg, h, cos, sin, mask, kv, cache_pos,
+                                 capture, tap)
+    if cfg.parallel_block:  # Phi: attn + MLP both read the same normed input
+        if capture is not None:
+            capture["fc1" if cfg.mlp_type == "fc" else "gate_proj"] = h
+        m = mlp(lp, h, capture, cfg, tap)
+        return x + attn_out + m, new_kv
     if cfg.sandwich_norms:  # Gemma3 post-attention norm inside the residual
         attn_out = _norm(cfg, attn_out, lp["post_attn_norm"])
     x = x + attn_out
-    h = _norm(cfg, x, lp["mlp_norm"])
+    h = _norm(cfg, x, lp["mlp_norm"], lp.get("mlp_norm_bias"))
     if capture is not None:
-        capture["gate_proj"] = capture["up_proj"] = h
-    m = mlp(lp, h, capture, cfg)
+        if cfg.mlp_type == "fc":
+            capture["fc1"] = h
+        else:
+            capture["gate_proj"] = capture["up_proj"] = h
+    m = mlp(lp, h, capture, cfg, tap)
     if cfg.sandwich_norms:
         m = _norm(cfg, m, lp["post_mlp_norm"])
     x = x + m
@@ -270,18 +352,29 @@ def causal_mask(S: int, T: int, offset: int = 0, dtype=jnp.float32) -> jnp.ndarr
 
 
 def embed_tokens(params: Params, tokens: jnp.ndarray,
-                 cfg: Optional[ModelConfig] = None) -> jnp.ndarray:
+                 cfg: Optional[ModelConfig] = None,
+                 positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     e = jnp.take(params["embed"], tokens, axis=0)
     if cfg is not None and cfg.embed_scale:  # Gemma3: sqrt(d) normalizer
         e = e * jnp.asarray(cfg.hidden_size ** 0.5, e.dtype)
+    if cfg is not None and cfg.pos_embed_type == "learned":
+        if positions is None:
+            S = tokens.shape[-1]
+            positions = jnp.broadcast_to(jnp.arange(S), tokens.shape)
+        # OPT offsets learned positions by 2 (HF OPTLearnedPositionalEmbedding)
+        e = e + jnp.take(params["pos_embed"], positions + cfg.pos_offset,
+                         axis=0).astype(e.dtype)
     return e
 
 
 def unembed(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
-                 cfg.norm_plus_one)
+    x = _norm(cfg, x, params["final_norm"], params.get("final_norm_bias"))
     head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    return apply_linear(head, x)
+    logits = apply_linear(head, x)
+    hb = params.get("lm_head_bias")
+    if hb is not None:
+        logits = logits + hb.astype(logits.dtype)
+    return logits
 
 
 def layer_rope_mask(cfg: ModelConfig, positions: jnp.ndarray,
@@ -292,8 +385,10 @@ def layer_rope_mask(cfg: ModelConfig, positions: jnp.ndarray,
     are unstacked and shared; for cfg.layer_types models returns stacked
     [L, ...] arrays selecting global vs local rope/mask per layer.
     """
-    cos_g, sin_g = rope_cos_sin(cfg, positions)
     base_mask = causal_mask(S, T, offset)
+    if cfg.pos_embed_type == "learned":  # OPT: no RoPE at all
+        return None, None, base_mask, False
+    cos_g, sin_g = rope_cos_sin(cfg, positions)
     if not cfg.layer_types:
         return cos_g, sin_g, base_mask, False
     local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
@@ -324,7 +419,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if not (isinstance(mask, str) and mask == "causal"):
         mask_ = mask
         stacked = False
-    x = embed_tokens(params, tokens, cfg)
+    x = embed_tokens(params, tokens, cfg, positions)
 
     if stacked:
         def body(carry, xs):
@@ -357,66 +452,24 @@ def forward_unrolled(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
     cos, sin, mask, stacked = layer_rope_mask(cfg, positions, S, S)
-    x = embed_tokens(params, tokens, cfg)
+    x = embed_tokens(params, tokens, cfg, positions)
     L = num_layers_of(params)
     lo, hi = tap_range or (0, L)
     for i in range(L):
         lp = layer_slice(params["layers"], i)
         c, s_, mk = (cos[i], sin[i], mask[i]) if stacked else (cos, sin, mask)
-        if taps is None or not (lo <= i < hi):
-            x, _ = decoder_layer(lp, cfg, x, c, s_, mk)
-        else:
-            x = _decoder_layer_tapped(lp, cfg, x, c, s_, mk,
-                                      layer_slice(taps, i - lo))
+        tap = (layer_slice(taps, i - lo)
+               if taps is not None and lo <= i < hi else None)
+        x, _ = decoder_layer(lp, cfg, x, c, s_, mk, tap=tap)
     return unembed(params, cfg, x)
-
-
-def _decoder_layer_tapped(lp, cfg, x, cos, sin, mask, tap):
-    """Decoder layer with additive taps on every target-module output."""
-    B, S, _ = x.shape
-    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-
-    h = _norm(cfg, x, lp["attn_norm"])
-    q = (apply_linear(lp["q_proj"], h) + tap["q_proj"]).reshape(B, S, H, Dh)
-    k = (apply_linear(lp["k_proj"], h) + tap["k_proj"]).reshape(B, S, KV, Dh)
-    v = (apply_linear(lp["v_proj"], h) + tap["v_proj"]).reshape(B, S, KV, Dh)
-    if cfg.qk_norm:
-        q = _norm(cfg, q, lp["q_norm"])
-        k = _norm(cfg, k, lp["k_norm"])
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    G = H // KV
-    qg = q.reshape(B, S, KV, G, Dh)
-    scores = jnp.einsum("bskgd,btkd->bkgst", qg, k,
-                        preferred_element_type=jnp.float32) * _attn_scale(cfg)
-    if mask is not None:
-        scores = scores + mask
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bkgst,btkd->bskgd", probs, v).reshape(B, S, H * Dh)
-    attn_out = apply_linear(lp["o_proj"], ctx) + tap["o_proj"]
-    if cfg.sandwich_norms:
-        attn_out = _norm(cfg, attn_out, lp["post_attn_norm"])
-    x = x + attn_out
-
-    h = _norm(cfg, x, lp["mlp_norm"])
-    g = apply_linear(lp["gate_proj"], h) + tap["gate_proj"]
-    u = apply_linear(lp["up_proj"], h) + tap["up_proj"]
-    m = apply_linear(lp["down_proj"], _act(cfg, g) * u) + tap["down_proj"]
-    if cfg.sandwich_norms:
-        m = _norm(cfg, m, lp["post_mlp_norm"])
-    x = x + m
-    return x
 
 
 def make_taps(cfg: ModelConfig, num_layers: int, B: int, S: int,
               dtype=jnp.float32) -> Params:
     """Zero taps pytree, stacked [L, B, S, out_features] per module."""
-    d, f = cfg.hidden_size, cfg.intermediate_size
-    shapes = {
-        "q_proj": cfg.q_dim, "k_proj": cfg.kv_dim, "v_proj": cfg.kv_dim,
-        "o_proj": d, "gate_proj": f, "up_proj": f, "down_proj": d,
-    }
-    return {m: jnp.zeros((num_layers, B, S, n), dtype) for m, n in shapes.items()}
+    dims = module_dims(cfg)
+    return {m: jnp.zeros((num_layers, B, S, o), dtype)
+            for m, (o, _) in dims.items()}
 
 
 def cross_entropy_loss(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:

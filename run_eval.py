@@ -31,6 +31,12 @@ def main():
                    help="HF tokenizer for dataset tokenization")
     p.add_argument("--models", nargs="+", default=None,
                    help="explicit packed model dirs (else scan cache)")
+    p.add_argument("--lm_eval", action="store_true",
+                   help="also run the lm-eval zeroshot suite "
+                        "(needs lm-eval + network for task data)")
+    p.add_argument("--tasks", nargs="+", default=None,
+                   help="lm-eval task list (default: the canonical 8-task "
+                        "suite, reference run_eval.py:38-42)")
     args = p.parse_args()
 
     import numpy as np
@@ -70,6 +76,19 @@ def main():
                 ppl = evaluate_ppl(params, cfg, stream, ctx_len=args.ctx_len)
                 record_result(args.output_file, name, "ppl", ds, key, ppl)
                 print(f"{name} {ds} {key}: {ppl:.4f}")
+        if args.lm_eval:
+            from guidedquant_tpu.evaluate.lm_eval_bridge import run_lm_eval
+            for bits in sup:
+                key = str(bits or "native")
+                if has_result(args.output_file, name, "lm-eval", "suite", key):
+                    continue
+                cfg, params = _load_model(mdir, precision=bits)
+                tok = AutoTokenizer.from_pretrained(args.tokenizer) \
+                    if args.tokenizer else None
+                res = run_lm_eval(cfg, params, tok, tasks=args.tasks,
+                                  max_length=args.ctx_len)
+                record_result(args.output_file, name, "lm-eval", "suite",
+                              key, res.get("results", res))
 
 
 if __name__ == "__main__":
