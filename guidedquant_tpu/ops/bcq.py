@@ -91,6 +91,31 @@ def bcq_dequant(alpha: jnp.ndarray, packed: jnp.ndarray, bias: jnp.ndarray,
         bias.astype(dtype)[:, None]
 
 
+def bcq_kernel_operands(packed: np.ndarray, K: int) -> Tuple[np.ndarray, int]:
+    """Checkpoint sign planes -> lane-tiled kernel operand.
+
+    packed [(L,) B, N, K/32] little-endian word planes ->
+    words [(L,) B, N, K_pad/32] in the 1-bit lane-tiled layout consumed by
+    ``lut_kernels.bcq_matmul`` (TK = 4096). Returns (words, K_pad).
+    """
+    from . import lut_kernels
+
+    p = np.asarray(packed)
+    stacked = p.ndim == 4
+    ps = p if stacked else p[None]
+    out = []
+    for pl_ in ps:
+        signs = bcq_unpack_signs(pl_, K)  # [B, N, K] in {-1, +1}
+        codes = (signs > 0).astype(np.uint8)
+        planes = []
+        for b in range(codes.shape[0]):
+            c, K_pad = lut_kernels.pad_to_tiles(codes[b], 1)
+            planes.append(lut_kernels.pack_lane_tiled(c, 1))
+        out.append(np.stack(planes))
+    words = np.stack(out) if stacked else out[0]
+    return words, K_pad
+
+
 def bcq_error(W: np.ndarray, alpha, signs, bias) -> float:
     approx = np.einsum("nb,bnk->nk", alpha, signs) + bias[:, None]
     return float(np.linalg.norm(approx - W) / max(np.linalg.norm(W), 1e-12))

@@ -523,6 +523,99 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
 
 
 # ---------------------------------------------------------------------------
+# BCQ (LUT-GEMM) kernel: sum of per-row-scaled sign planes
+#
+# TPU-native analog of the reference's ``nqmv_bias``
+# (``inference/ap_gemv/lutgemm.cu:24-150``). Each plane b holds signs
+# s = 2c - 1 with c in {0,1}; y_n = sum_b alpha_nb (s_b x)_n + bias_n sum(x).
+# The kernel computes acc = sum_b alpha_b * (C_b x) with the planes decoded
+# by the same lane-tiled 1-bit form as the any-precision kernel; the sign
+# correction and row bias fold into an O(N) epilogue:
+#   y = 2*acc + (bias - sum_b alpha_b) * sum(x).
+# ---------------------------------------------------------------------------
+
+def _bcq_kernel(x_ref, w_ref, alpha_ref, o_ref, *, n_planes: int,
+                tile_k: int):
+    """w_ref [Bp, tile_n, 128] lane-tiled 1-bit plane words;
+    alpha_ref [8-padded Bp, tile_n] f32."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for b in range(n_planes):
+        c = _decode_codes(w_ref[b], 1, tile_k).astype(jnp.bfloat16)
+        d = lax.dot_general(x_ref[:], c, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        o_ref[:] += d * alpha_ref[b][None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def bcq_matmul(x: jnp.ndarray, words: jnp.ndarray, alpha: jnp.ndarray,
+               qbias: jnp.ndarray, tile_n: int = 256) -> jnp.ndarray:
+    """y[B, N] = x @ (sum_b alpha_b*(2c_b-1) + qbias)^T.
+
+    words [Bp, N, K_pad/32] lane-tiled 1-bit planes (TK = 4096);
+    alpha [N, Bp]; qbias [N].
+    """
+    B, K_pad = x.shape
+    Bp, N, Wtot = words.shape
+    TK = tile_k_for(1)
+    n_ktiles = Wtot // LANE_WORDS
+    assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)
+    assert N % tile_n == 0, (N, tile_n)
+
+    # alpha as [Bp, N] f32 with the plane axis padded to a sublane multiple
+    at = jnp.transpose(alpha.astype(jnp.float32))  # [Bp, N]
+    Bp_pad = ((Bp + 7) // 8) * 8
+    if Bp_pad != Bp:
+        at = jnp.pad(at, ((0, Bp_pad - Bp), (0, 0)))
+
+    acc = pl.pallas_call(
+        functools.partial(_bcq_kernel, n_planes=Bp, tile_k=TK),
+        grid=(N // tile_n, n_ktiles),
+        in_specs=[
+            pl.BlockSpec((B, TK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, tile_n, LANE_WORDS), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp_pad, tile_n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * N * K_pad + 4 * N * K_pad) * Bp,
+            bytes_accessed=N * K_pad * Bp // 8 + B * K_pad * 2 + B * N * 4,
+            transcendentals=0),
+    )(x.astype(jnp.bfloat16), words, at)
+    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
+    row = qbias.astype(jnp.float32) - alpha.astype(jnp.float32).sum(axis=-1)
+    return 2.0 * acc + sumx * row[None, :]
+
+
+def bcq_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, alpha: jnp.ndarray,
+                    qbias: jnp.ndarray,
+                    out_features: Optional[int] = None) -> jnp.ndarray:
+    """BCQ kernel wrapper: x [..., K]."""
+    *lead, K = x.shape
+    B = int(np.prod(lead)) if lead else 1
+    TK = tile_k_for(1)
+    K_pad = words.shape[2] // LANE_WORDS * TK
+    x2 = x.reshape(B, K)
+    if K_pad != K:
+        x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
+    N = words.shape[1]
+    tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
+    y = bcq_matmul(x2, words, alpha, qbias, tile_n=tile_n)
+    if out_features is not None and out_features != N:
+        y = y[:, :out_features]
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch API used by nn.linear
 # ---------------------------------------------------------------------------
 

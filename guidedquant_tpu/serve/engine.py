@@ -173,7 +173,11 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
     quant = state.kv_bits < 16
     per_layer = bool(cfg.layer_types)
     if per_layer:
-        # Gemma3: local-theta rope + sliding mask on 'sliding' layers
+        # Gemma3: local-theta rope + sliding mask on 'sliding' layers.
+        # Selected per layer INSIDE the scan body from a [L] flag — the
+        # global/local rope pair and the two masks are computed once and
+        # never materialized as stacked [L, ...] arrays (they would be
+        # L * B * S_max floats at long contexts).
         local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
                                 rope_scaling=None)
         cos_l, sin_l = llama.rope_cos_sin(local_cfg, positions)
@@ -182,18 +186,15 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
             (t_ids > positions[0][:, None] - cfg.sliding_window),
             0.0, -1e30)
         is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
-        cos_st = jnp.where(is_global[:, None, None, None], cos[None],
-                           cos_l[None])
-        sin_st = jnp.where(is_global[:, None, None, None], sin[None],
-                           sin_l[None])
-        mask_st = jnp.where(is_global[:, None, None], t_mask[None],
-                            sliding_mask[None])
 
     def body(carry, xs):
         x = carry
         if per_layer:
-            lp, c_, s_, mk = xs[0], xs[1], xs[2], xs[3]
-            kv_l = xs[4:]
+            lp, flag = xs[0], xs[1]
+            kv_l = xs[2:]
+            c_ = jnp.where(flag, cos, cos_l)
+            s_ = jnp.where(flag, sin, sin_l)
+            mk = jnp.where(flag, t_mask, sliding_mask)
         else:
             lp, kv_l = xs[0], xs[1:]
             c_, s_, mk = cos, sin, t_mask
@@ -203,7 +204,7 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
 
     xs = (params["layers"],)
     if per_layer:
-        xs = xs + (cos_st, sin_st, mask_st)
+        xs = xs + (is_global,)
     xs = xs + (state.k, state.v)
     if quant:
         xs = xs + (state.k_scale, state.v_scale)
