@@ -211,6 +211,11 @@ def _run_8b(quick):
 
     build_cfg = cfg.replace(num_layers=4) if quick else cfg
     qparams, cfg_q = _build_quantized_device(build_cfg, bits=2)
+    if os.environ.get("BENCH_UNROLL", "1") == "1":
+        # per-layer weight buffers: Pallas operands bind directly instead of
+        # being re-materialized from scan slices every step (engine.unroll_layers)
+        from guidedquant_tpu.serve.engine import unroll_layers
+        qparams = unroll_layers(qparams)
     q_tok_s = _decode_tok_s(qparams, cfg_q, n_tokens)
 
     if quick:  # quick mode: compare at the same truncated depth

@@ -447,28 +447,51 @@ def fit_affine(lut: np.ndarray):
     return s.astype(np.float32), m.astype(np.float32), relerr
 
 
-def _affine_kernel(x_ref, *rest, bits: int, tile_k: int):
+def _affine_kernel(x_ref, sumx_ref, s_ref, m_ref, *rest, bits: int,
+                   tile_k: int, n_jsteps: int, block_k: int):
+    """Code-dot with the per-row affine epilogue fused in-kernel.
+
+    o_ref (f32) accumulates the raw code-dot over k-tiles; at the last
+    k-tile the epilogue y = acc*s + sumx*m is applied in place — no
+    separate XLA epilogue ops per linear. Each grid step covers ``block_k``
+    lane tiles (statically unrolled) — fewer grid-boundary pipeline bubbles
+    than one tile per step.
+    """
     o_ref = rest[-1]
     w_refs = rest[:-1]
     j = pl.program_id(1)
+    fs = FIELD_SPLIT[bits]
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    codes = _decode_fields(w_refs, bits, tile_k).astype(jnp.bfloat16)
-    o_ref[:] += lax.dot_general(x_ref[:], codes, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    acc = None
+    for t in range(block_k):
+        w_sub = [w_ref[:, t * (tile_k * f // 32):(t + 1) * (tile_k * f // 32)]
+                 for w_ref, f in zip(w_refs, fs)]
+        codes = _decode_fields(w_sub, bits, tile_k).astype(jnp.bfloat16)
+        d = lax.dot_general(x_ref[:, t * tile_k:(t + 1) * tile_k], codes,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    o_ref[:] += acc
+
+    @pl.when(j == n_jsteps - 1)
+    def _():
+        o_ref[:] = o_ref[:] * s_ref[:] + sumx_ref[:] * m_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "tile_n"))
+@functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k"))
 def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
                       mrow: jnp.ndarray, bits: int,
-                      tile_n: int = 256) -> jnp.ndarray:
-    """y[B, N] = x @ (m + s*codes)^T: code-dot kernel + affine epilogue.
+                      tile_n: int = 256, block_k: int = 0) -> jnp.ndarray:
+    """y[B, N] = x @ (m + s*codes)^T: code-dot kernel, affine epilogue fused.
 
     ``words``: one array for single-field widths, or the per-field tuple
-    from pack_lane_tiled for composite widths (3/5/6/7 bit)."""
+    from pack_lane_tiled for composite widths (3/5/6/7 bit).
+    ``block_k``: lane tiles per grid step (0 = auto: as many as fit a
+    ~2 MB decoded tile, evenly dividing the tile count)."""
     words_t = words if isinstance(words, (tuple, list)) else (words,)
     fs = FIELD_SPLIT[bits]
     B, K_pad = x.shape
@@ -478,15 +501,29 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
     n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK
     assert N % tile_n == 0, (N, tile_n)
+    if block_k == 0:
+        cap = max(1, (2 * 1024 * 1024) // (tile_n * TK * 2))
+        block_k = max(bk for bk in range(1, n_ktiles + 1)
+                      if n_ktiles % bk == 0 and bk <= cap)
+    assert n_ktiles % block_k == 0, (n_ktiles, block_k)
+    n_jsteps = n_ktiles // block_k
 
     def _wspec(W_f):
-        return pl.BlockSpec((tile_n, W_f), lambda i, j: (i, j),
+        return pl.BlockSpec((tile_n, block_k * W_f), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
 
-    cx = pl.pallas_call(
-        functools.partial(_affine_kernel, bits=bits, tile_k=TK),
-        grid=(N // tile_n, n_ktiles),
-        in_specs=[pl.BlockSpec((B, TK), lambda i, j: (0, j),
+    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
+    y = pl.pallas_call(
+        functools.partial(_affine_kernel, bits=bits, tile_k=TK,
+                          n_jsteps=n_jsteps, block_k=block_k),
+        grid=(N // tile_n, n_jsteps),
+        in_specs=[pl.BlockSpec((B, block_k * TK), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM)]
                  + [_wspec(W_f) for W_f in Ws],
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
@@ -496,15 +533,17 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
             flops=2 * B * N * K_pad + 5 * N * K_pad,
             bytes_accessed=N * K_pad * bits // 8 + B * K_pad * 2 + B * N * 4,
             transcendentals=0),
-    )(x.astype(jnp.bfloat16), *words_t)
-    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
-    return cx * srow[None, :] + sumx * mrow[None, :]
+    )(x.astype(jnp.bfloat16), sumx,
+      srow.astype(jnp.float32)[None, :], mrow.astype(jnp.float32)[None, :],
+      *words_t)
+    return y
 
 
 def lut_matmul_affine_flex(x: jnp.ndarray, words,
                            srow: jnp.ndarray, mrow: jnp.ndarray, bits: int,
                            out_features: Optional[int] = None) -> jnp.ndarray:
     """Affine kernel wrapper: x [..., K]."""
+    import os
     words_t = words if isinstance(words, (tuple, list)) else (words,)
     *lead, K = x.shape
     B = int(np.prod(lead)) if lead else 1
@@ -516,7 +555,9 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
         x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
     N = words_t[0].shape[0]
     tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
-    y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n)
+    block_k = int(os.environ.get("AFFINE_BLOCK_K", "0"))  # 0 = auto
+    y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n,
+                          block_k=block_k)
     if out_features is not None and out_features != N:
         y = y[:, :out_features]
     return y.reshape(*lead, -1).astype(x.dtype)

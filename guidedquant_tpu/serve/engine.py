@@ -157,6 +157,25 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
     return x, new_kv
 
 
+def unroll_layers(params: Dict) -> Dict:
+    """Stacked [L, ...] layer pytree -> tuple of per-layer pytrees.
+
+    Applied OUTSIDE jit at load time, so every per-layer leaf becomes its
+    own device buffer. This matters for the quantized decode path: Pallas
+    kernels are custom calls, and a custom call cannot consume a fused
+    dynamic-slice — under ``lax.scan`` every layer's packed operand is
+    materialized (an HBM->HBM copy of the layer's weights EVERY step,
+    ~54 MB/layer at 8B 2-bit ~= 2.4 ms/step). With unrolled per-layer
+    buffers the kernels bind their operands directly (the gpt-fast
+    unrolled-layers analog, reference inference/model.py Transformer).
+    """
+    from ..models.llama import layer_slice, num_layers_of
+    L = num_layers_of(params)
+    out = dict(params)
+    out["layers"] = tuple(layer_slice(params["layers"], i) for i in range(L))
+    return out
+
+
 def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
                positions) -> Tuple[jnp.ndarray, DecodeState]:
     """tokens [B, S] written at state.pos; returns (logits [B, S, V], state)."""
@@ -187,28 +206,47 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
             0.0, -1e30)
         is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
 
-    def body(carry, xs):
-        x = carry
-        if per_layer:
-            lp, flag = xs[0], xs[1]
-            kv_l = xs[2:]
-            c_ = jnp.where(flag, cos, cos_l)
-            s_ = jnp.where(flag, sin, sin_l)
-            mk = jnp.where(flag, t_mask, sliding_mask)
-        else:
-            lp, kv_l = xs[0], xs[1:]
-            c_, s_, mk = cos, sin, t_mask
-        x, new_kv = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
-                                mk, kv_bits=state.kv_bits, r3=state.r3)
-        return x, new_kv
+    if isinstance(params["layers"], (tuple, list)):
+        # Unrolled path (per-layer weight buffers; see unroll_layers).
+        k_c, v_c = state.k, state.v
+        k_s, v_s = state.k_scale, state.v_scale
+        for i, lp in enumerate(params["layers"]):
+            if per_layer and cfg.layer_types[i] != "global":
+                c_, s_, mk = cos_l, sin_l, sliding_mask  # static branch
+            else:
+                c_, s_, mk = cos, sin, t_mask
+            kv_l = (k_c[i], v_c[i]) + ((k_s[i], v_s[i]) if quant else ())
+            x, new_kv = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
+                                    mk, kv_bits=state.kv_bits, r3=state.r3)
+            k_c = jax.lax.dynamic_update_index_in_dim(k_c, new_kv[0], i, 0)
+            v_c = jax.lax.dynamic_update_index_in_dim(v_c, new_kv[1], i, 0)
+            if quant:
+                k_s = jax.lax.dynamic_update_index_in_dim(k_s, new_kv[2], i, 0)
+                v_s = jax.lax.dynamic_update_index_in_dim(v_s, new_kv[3], i, 0)
+        new_kv = (k_c, v_c) + ((k_s, v_s) if quant else ())
+    else:
+        def body(carry, xs):
+            x = carry
+            if per_layer:
+                lp, flag = xs[0], xs[1]
+                kv_l = xs[2:]
+                c_ = jnp.where(flag, cos, cos_l)
+                s_ = jnp.where(flag, sin, sin_l)
+                mk = jnp.where(flag, t_mask, sliding_mask)
+            else:
+                lp, kv_l = xs[0], xs[1:]
+                c_, s_, mk = cos, sin, t_mask
+            x, new_kv = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
+                                    mk, kv_bits=state.kv_bits, r3=state.r3)
+            return x, new_kv
 
-    xs = (params["layers"],)
-    if per_layer:
-        xs = xs + (is_global,)
-    xs = xs + (state.k, state.v)
-    if quant:
-        xs = xs + (state.k_scale, state.v_scale)
-    x, new_kv = jax.lax.scan(body, x, xs)
+        xs = (params["layers"],)
+        if per_layer:
+            xs = xs + (is_global,)
+        xs = xs + (state.k, state.v)
+        if quant:
+            xs = xs + (state.k_scale, state.v_scale)
+        x, new_kv = jax.lax.scan(body, x, xs)
     logits = llama.unembed(params, cfg, x)
     new_state = DecodeState(
         k=new_kv[0], v=new_kv[1], pos=state.pos + jnp.int32(S),

@@ -62,6 +62,44 @@ def test_affine_kernel_matches_oracle(bits, B, rng):
     np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=atol)
 
 
+@pytest.mark.parametrize("block_k", [1, 2, 4])
+def test_affine_block_k_matches_oracle(block_k, rng):
+    """Multi-lane-tile grid steps (block_k) decode identically."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = 2
+    TK = tile_k_for(bits)
+    N, K = 256, 4 * TK
+    codes = rng.integers(0, 4, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, 4)
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine(jnp.asarray(x), words, jnp.asarray(s),
+                              jnp.asarray(m), bits, tile_n=128,
+                              block_k=block_k)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+
+
+def test_affine_block_k_composite_3bit(rng):
+    """block_k > 1 with composite-width per-field word arrays."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = 3
+    TK = tile_k_for(bits)
+    N, K = 128, 2 * TK
+    codes = rng.integers(0, 8, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, 8)
+    x = rng.normal(size=(1, K)).astype(np.float32)
+    words = tuple(jnp.asarray(p) for p in pack_lane_tiled(codes, bits))
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine(jnp.asarray(x), words, jnp.asarray(s),
+                              jnp.asarray(m), bits, tile_n=128, block_k=2)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=2e-2)
+
+
 def test_with_kernel_layout_engages_affine_3bit(rng):
     """3-bit uniform grids engage the composite-field affine kernel and the
     forward matches the dequant oracle (VERDICT item 4: 3-bit fused)."""

@@ -80,14 +80,16 @@ if MODE in ("all", "kern"):
 
         g = jax.jit(run, static_argnums=0)
         _ = np.asarray(g(2, x))
+        # large iteration delta so kernel time >> per-call dispatch jitter
+        n1, n2 = 300, 1500
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(g(200, x))
+            _ = np.asarray(g(n1, x))
             t1 = time.perf_counter()
-            _ = np.asarray(g(400, x))
+            _ = np.asarray(g(n2, x))
             t2 = time.perf_counter()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / 200)
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
         print(f"kernel {name} [{N}x{K}]: {best*1e6:.1f} us", flush=True)
 
 if MODE in ("all", "head"):

@@ -1,0 +1,109 @@
+"""End-to-end quantization quality validation on the real local checkpoint.
+
+Runs the FULL flagship pipeline (tokens -> gradients/saliency -> guided
+Hessians -> seed k-means -> LNQ -> pack) on the byte-LM trained by
+train_lm.py, then evaluates held-out perplexity per bit-width / codebook
+family and records everything into results.json — the analog of the
+reference's WikiText-2 ppl regression ledger (``run_eval.py:44-122``).
+
+Configs swept:
+  fp32 baseline ppl
+  {2,3,4}-bit LNQ "free" codebooks (the paper configuration)
+  2-bit "affine" + "shared" families (quantifies the fast-kernel snap cost)
+  2-bit unguided (is_nosal) ablation (guided-vs-unguided on a real model)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from train_lm import load_params  # noqa: E402
+
+
+def model_cfg(seq):
+    from guidedquant_tpu.models.config import ModelConfig
+    return ModelConfig(
+        name="pybyte-27m", vocab_size=256, hidden_size=512,
+        intermediate_size=1536, num_layers=8, num_heads=8, num_kv_heads=8,
+        rope_theta=10000.0, rms_norm_eps=1e-5, max_seq_len=seq,
+        tie_word_embeddings=False)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="cache/realmodel/ckpt.npz")
+    p.add_argument("--corpus", default="cache/realmodel/corpus.npz")
+    p.add_argument("--results", default="results.json")
+    p.add_argument("--cache_dir", default="cache/realmodel")
+    p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--num_examples", type=int, default=128)
+    p.add_argument("--val_mb", type=float, default=0.5,
+                   help="held-out bytes to evaluate ppl on")
+    p.add_argument("--configs", nargs="+", default=None,
+                   help='subset like "2-free 2-affine 4-free nosal"')
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    from guidedquant_tpu.pipelines.quantize_lnq import layerwise_nuq
+    from guidedquant_tpu.evaluate.ppl import evaluate_ppl
+    from guidedquant_tpu.evaluate.results import record_result, has_result
+    from guidedquant_tpu.formats.anyprec import load_packed
+
+    cfg = model_cfg(args.seq)
+    params = load_params(args.ckpt)
+    z = np.load(args.corpus)
+    train, val = z["train"], z["val"]
+    val_stream = val[:int(args.val_mb * 1024 * 1024)].astype(np.int32)
+
+    rng = np.random.default_rng(1)
+    starts = rng.integers(0, train.size - args.seq, size=args.num_examples)
+    calib_tokens = train[starts[:, None] + np.arange(args.seq)].astype(np.int32)
+
+    name = cfg.name
+    if not has_result(args.results, name, "ppl", "pycorpus-val", "fp32"):
+        ppl = evaluate_ppl(params, cfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", "fp32",
+                      float(ppl))
+        print(f"fp32 ppl/byte: {ppl:.4f}", flush=True)
+
+    def run(bits, family, nosal=False):
+        key = f"{bits}bit-{family}" + ("-nosal" if nosal else "")
+        if has_result(args.results, name, "ppl", "pycorpus-val", key):
+            print(f"{key}: cached", flush=True)
+            return
+        tile = 512 if family == "shared" else None
+        packed = layerwise_nuq(
+            name, cfg=cfg, params=params, seed_precision=bits,
+            cache_dir=args.cache_dir, dataset="pycorpus",
+            seq_len=args.seq, num_examples=args.num_examples,
+            num_groups=1, num_iterations=3, cd_cycles=4,
+            is_nosal=nosal, shared_shape_tile=tile,
+            codebook_family=family if family != "shared" else "free",
+            tokens=calib_tokens)
+        _qcfg, qparams = load_packed(packed, precision=bits,
+                                     dtype=jnp.float32)
+        ppl = evaluate_ppl(qparams, cfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", key,
+                      float(ppl))
+        print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
+
+    wanted = args.configs or ["4-free", "3-free", "2-free", "2-affine",
+                              "2-shared", "nosal"]
+    for w in wanted:
+        if w == "nosal":
+            run(2, "free", nosal=True)
+        else:
+            bits, family = w.split("-")
+            run(int(bits), family)
+
+    with open(args.results) as f:
+        res = json.load(f)
+    print(json.dumps(res.get(name, {}), indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
