@@ -78,6 +78,9 @@ def _build_quantized_device(cfg, bits=2, seed=7):
     bit-plane checkpoint `qweight` is a tiny placeholder — the decode hot
     path (affine kernel) never reads it; this builder is for throughput
     benchmarking only.
+
+    BENCH_HEAD: "int8" (default), "affine4" (4-bit affine any-prec head —
+    the mixed_pack configuration) or "bf16".
     """
     import jax
     import jax.numpy as jnp
@@ -86,25 +89,32 @@ def _build_quantized_device(cfg, bits=2, seed=7):
 
     d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     V = cfg.vocab_size
-    TK = lut_kernels.tile_k_for(bits)
     keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
 
-    def qlin(out_f, in_f):
+    def qlin(out_f, in_f, b=bits, stacked=True, k_tile_mult=1):
+        TK = lut_kernels.tile_k_for(b)
         K_pad = ((in_f + TK - 1) // TK) * TK
-        W = K_pad * bits // 32
-        qwords = jax.random.randint(next(keys), (L, out_f, W),
+        # optionally pad the tile count so block_k can batch grid steps
+        n_t = K_pad // TK
+        n_t = ((n_t + k_tile_mult - 1) // k_tile_mult) * k_tile_mult
+        K_pad = n_t * TK
+        W = K_pad * b // 32
+        lead = (L,) if stacked else ()
+        qwords = jax.random.randint(next(keys), lead + (out_f, W),
                                     -2**31, 2**31 - 1, jnp.int32)
-        s = (jax.random.uniform(next(keys), (L, out_f)) * 0.5 + 0.75) * 0.02
-        m = jax.random.normal(next(keys), (L, out_f)) * 0.002
-        C = 2 ** bits
-        luts = {bits: (m[..., None] + s[..., None] *
-                       jnp.arange(C, dtype=jnp.float32)).astype(jnp.bfloat16)}
+        s = (jax.random.uniform(next(keys), lead + (out_f,)) * 0.5
+             + 0.75) * 0.02
+        m = jax.random.normal(next(keys), lead + (out_f,)) * 0.002
+        C = 2 ** b
+        luts = {b: (m[..., None] + s[..., None] *
+                    jnp.arange(C, dtype=jnp.float32)).astype(jnp.bfloat16)}
         return AnyPrecLinear(
-            qweight=jnp.zeros((L, bits, out_f, 8), jnp.int32),  # placeholder
+            qweight=jnp.zeros(lead + (b, out_f, 8), jnp.int32),  # placeholder
             luts=luts, bias=None, qwords=qwords, pcoef=None, gpoly=None,
             srow=s.astype(jnp.float32), mrow=m.astype(jnp.float32),
-            precision=bits, out_features=out_f, in_features=in_f)
+            precision=b, out_features=out_f, in_features=in_f)
 
+    pad_down = int(os.environ.get("BENCH_PAD_DOWN", "2"))
     # fused leaves built directly (avoids 2x transient HBM from concat)
     layers = {
         "attn_norm": jnp.ones((L, d), jnp.bfloat16),
@@ -112,18 +122,25 @@ def _build_quantized_device(cfg, bits=2, seed=7):
         "qkv_proj": qlin(cfg.q_dim + 2 * cfg.kv_dim, d),
         "o_proj": qlin(d, cfg.q_dim),
         "gate_up_proj": qlin(2 * f, d),
-        "down_proj": qlin(d, f),
+        "down_proj": qlin(d, f, k_tile_mult=pad_down),
     }
+    head_mode = os.environ.get("BENCH_HEAD", "int8")
+    if head_mode == "affine4":
+        head = qlin(V, d, b=4, stacked=False)
+    elif head_mode == "bf16":
+        head = (jax.random.normal(next(keys), (V, d)) * 0.02
+                ).astype(jnp.bfloat16)
+    else:
+        head = Int8Linear(
+            q=jax.random.randint(next(keys), (V, d), -128, 128, jnp.int8),
+            scale=jnp.full((V,), 2e-4, jnp.float32),
+            out_features=V, in_features=d)
     params = {
         "embed": (jax.random.normal(next(keys), (V, d)) * 0.02
                   ).astype(jnp.bfloat16),
         "layers": layers,
         "final_norm": jnp.ones((d,), jnp.bfloat16),
-        # int8 LM head (per-row scale), built directly on device
-        "lm_head": Int8Linear(
-            q=jax.random.randint(next(keys), (V, d), -128, 128, jnp.int8),
-            scale=jnp.full((V,), 2e-4, jnp.float32),
-            out_features=V, in_features=d),
+        "lm_head": head,
     }
     return params, cfg.replace(tie_word_embeddings=False)
 
@@ -184,6 +201,9 @@ def _run_1b(quick):
         cfg_q = cfg.replace(tie_word_embeddings=False)
     else:
         cfg_q = cfg
+    if os.environ.get("BENCH_UNROLL", "1") == "1":
+        from guidedquant_tpu.serve.engine import unroll_layers
+        qparams = unroll_layers(qparams)
     q_tok_s = _decode_tok_s(qparams, cfg_q, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s

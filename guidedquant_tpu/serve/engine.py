@@ -84,10 +84,14 @@ def _attend(cfg: ModelConfig, q, k_all, v_all, t_mask):
 
 
 def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
-                kv_bits: int = 16, r3: bool = False):
+                kv_bits: int = 16, r3: bool = False, layer_idx=None):
     """One decoder layer with cache write at ``write_pos`` (length-S block).
 
-    kv_l: (k_cache [B, S_max, KV, Dh], v_cache[, k_scale, v_scale]).
+    kv_l: (k_cache [B, S_max, KV, Dh], v_cache[, k_scale, v_scale]);
+    with ``layer_idx`` set (unrolled path) the caches are the FULL stacked
+    [L, B, S_max, KV, Dh] arrays — the new k/v are point-written in place at
+    (layer_idx, :, write_pos) instead of rewriting a per-layer slab (the
+    slab round-trip costs ~20 us/layer at 8B geometry).
     Returns (out, new_kv_l).
     """
     from ..nn.linear import apply_linear
@@ -117,24 +121,35 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
         q = matmul_hadU(q.astype(jnp.float32)).astype(q.dtype)
         k = matmul_hadU(k.astype(jnp.float32)).astype(k.dtype)
 
+    def _write(cache, val):
+        if layer_idx is None:
+            return jax.lax.dynamic_update_slice(
+                cache, val.astype(cache.dtype), (0, write_pos, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            cache, val.astype(cache.dtype)[None],
+            (layer_idx, 0, write_pos, 0, 0))
+
+    def _read(cache):
+        return cache if layer_idx is None else cache[layer_idx]
+
     if kv_bits < 16:
         k_cache, v_cache, k_scale, v_scale = kv_l
         kq, ks = _kv_quant(k, kv_bits)
         vq, vs = _kv_quant(v, kv_bits)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_pos, 0, 0))
-        k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, write_pos, 0, 0))
-        v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, write_pos, 0, 0))
-        k_all = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
-        v_all = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
+        k_cache = _write(k_cache, kq)
+        v_cache = _write(v_cache, vq)
+        k_scale = _write(k_scale, ks)
+        v_scale = _write(v_scale, vs)
+        k_all = (_read(k_cache).astype(jnp.float32) * _read(k_scale)
+                 ).astype(q.dtype)
+        v_all = (_read(v_cache).astype(jnp.float32) * _read(v_scale)
+                 ).astype(q.dtype)
         new_kv = (k_cache, v_cache, k_scale, v_scale)
     else:
         k_cache, v_cache = kv_l[:2]
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0))
-        k_all, v_all = k_cache, v_cache
+        k_cache = _write(k_cache, k)
+        v_cache = _write(v_cache, v)
+        k_all, v_all = _read(k_cache), _read(v_cache)
         new_kv = (k_cache, v_cache)
 
     ctx = _attend(cfg, q, k_all, v_all, t_mask)
@@ -208,22 +223,19 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
 
     if isinstance(params["layers"], (tuple, list)):
         # Unrolled path (per-layer weight buffers; see unroll_layers).
-        k_c, v_c = state.k, state.v
-        k_s, v_s = state.k_scale, state.v_scale
+        # Full stacked caches are threaded through; each layer point-writes
+        # its new k/v in place (no per-layer slab rewrites).
+        kv_l = (state.k, state.v) + ((state.k_scale, state.v_scale)
+                                     if quant else ())
         for i, lp in enumerate(params["layers"]):
             if per_layer and cfg.layer_types[i] != "global":
                 c_, s_, mk = cos_l, sin_l, sliding_mask  # static branch
             else:
                 c_, s_, mk = cos, sin, t_mask
-            kv_l = (k_c[i], v_c[i]) + ((k_s[i], v_s[i]) if quant else ())
-            x, new_kv = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
-                                    mk, kv_bits=state.kv_bits, r3=state.r3)
-            k_c = jax.lax.dynamic_update_index_in_dim(k_c, new_kv[0], i, 0)
-            v_c = jax.lax.dynamic_update_index_in_dim(v_c, new_kv[1], i, 0)
-            if quant:
-                k_s = jax.lax.dynamic_update_index_in_dim(k_s, new_kv[2], i, 0)
-                v_s = jax.lax.dynamic_update_index_in_dim(v_s, new_kv[3], i, 0)
-        new_kv = (k_c, v_c) + ((k_s, v_s) if quant else ())
+            x, kv_l = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
+                                  mk, kv_bits=state.kv_bits, r3=state.r3,
+                                  layer_idx=i)
+        new_kv = kv_l
     else:
         def body(carry, xs):
             x = carry

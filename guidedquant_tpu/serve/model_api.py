@@ -27,7 +27,8 @@ class QuantizedCausalLM:
     @classmethod
     def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
                        dtype=jnp.bfloat16, fuse: bool = True,
-                       int8_head: bool = False, mesh=None):
+                       int8_head: bool = False, mesh=None,
+                       unroll: bool = True):
         import os
         from ..utils.cache import load_json
         meta = load_json(os.path.join(model_dir, "config.json"))
@@ -51,12 +52,29 @@ class QuantizedCausalLM:
             obj.fuse()
         if mesh is not None:
             obj.shard(mesh)
+        elif unroll:
+            # single-chip decode: per-layer weight buffers (Pallas operands
+            # bind directly; see engine.unroll_layers). Mesh-sharded params
+            # stay stacked — GSPMD shards the stacked leaves.
+            obj.unroll()
         return obj
 
     def fuse(self):
         from .fuse import fusable, fuse_projections
         if self._fused is None and fusable(self.params):
             self._fused = fuse_projections(self.params)
+        return self
+
+    def unroll(self):
+        """Unroll the fused decode copy only — ``self.params`` stays
+        stacked for forward()/evaluate_ppl (lax.scan paths)."""
+        from .engine import unroll_layers
+        from .fuse import fusable
+        if self._fused is None and fusable(self.params):
+            self.fuse()
+        if (self._fused is not None
+                and not isinstance(self._fused["layers"], (tuple, list))):
+            self._fused = unroll_layers(self._fused)
         return self
 
     def shard(self, mesh):
