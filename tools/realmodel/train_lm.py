@@ -14,9 +14,13 @@ minutes.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..")))
 
 
 def save_params(path, params):
@@ -81,8 +85,10 @@ def main():
     opt_state = opt.init(params)
 
     def loss_fn(params, tokens):
-        logits = llama.forward(params, cfg, tokens[:, :-1])
-        return llama.cross_entropy_loss(logits, tokens[:, 1:])
+        # cross_entropy_loss shifts internally (HF labels=input_ids
+        # convention): pass the SAME [B, S+1] tokens as inputs and labels.
+        logits = llama.forward(params, cfg, tokens)
+        return llama.cross_entropy_loss(logits, tokens)
 
     def one_step(carry, tokens):
         params, opt_state, step = carry
