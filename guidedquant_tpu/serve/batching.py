@@ -89,12 +89,10 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
     return x, (k_cache, v_cache)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def decode_step_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
+def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
                       state: SlotState, active: jnp.ndarray):
     """One token for every slot (inactive slots masked). tok [B]; active [B]
     bool. Returns (logits [B, V], state with pos advanced on active)."""
-    B = tok.shape[0]
     S_max = state.k.shape[2]
     positions = state.pos[:, None]  # [B, 1]
     cos, sin = llama.rope_cos_sin(cfg, positions)
@@ -105,39 +103,95 @@ def decode_step_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
     # _attend expects mask broadcastable over [B, KV, G, S, T]
     mask = t_mask[:, None, None, :, :]
 
-    def body(carry, xs):
-        x = carry
-        lp, k_l, v_l = xs
-        x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin, (k_l, v_l),
-                                    state.pos, mask)
-        return x, (k_l, v_l)
+    if isinstance(params["layers"], (tuple, list)):
+        # unrolled per-layer buffers (engine.unroll_layers): Pallas kernels
+        # bind packed operands directly instead of consuming per-step
+        # HBM->HBM copies of scan slices.
+        k_new, v_new = state.k, state.v
+        for li, lp in enumerate(params["layers"]):
+            x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin,
+                                        (k_new[li], v_new[li]),
+                                        state.pos, mask)
+            k_new = k_new.at[li].set(k_l)
+            v_new = v_new.at[li].set(v_l)
+    else:
+        def body(carry, xs):
+            x = carry
+            lp, k_l, v_l = xs
+            x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin, (k_l, v_l),
+                                        state.pos, mask)
+            return x, (k_l, v_l)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], state.k, state.v))
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], state.k, state.v))
     logits = llama.unembed(params, cfg, x)[:, 0]
     new_pos = jnp.where(active, state.pos + 1, state.pos)
     return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
 
 
+decode_step_slots = partial(jax.jit, static_argnames=("cfg",),
+                            donate_argnums=(3,))(_decode_step_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "eos_id"), donate_argnums=(3,))
+def decode_chunk_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
+                       state: SlotState, active: jnp.ndarray, n: int,
+                       eos_id: Optional[int] = None):
+    """``n`` greedy decode steps for every slot entirely on device — one
+    host round-trip per chunk instead of per token (the batcher analog of
+    ``engine.decode_n_tokens``; on tunnel-style transports the per-dispatch
+    cost dominates single-step batched decode).
+
+    A slot freezes inside the chunk when it emits ``eos_id`` or reaches the
+    cache edge: its ``pos`` stops advancing and its later tokens are marked
+    invalid. Admission/retirement stay host-side at chunk boundaries.
+
+    Returns (toks [B, n], valid [B, n] bool, state, active_out).
+    """
+    S_max = state.k.shape[2]
+
+    def body(carry, _):
+        tok, state, act = carry
+        logits, state = _decode_step_impl(params, cfg, tok, state, act)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(act, nxt, tok)
+        new_act = act & (state.pos < S_max - 1)
+        if eos_id is not None:
+            new_act = new_act & (nxt != eos_id)
+        return (nxt, state, new_act), (nxt, act)
+
+    (tok, state, active), (toks, valid) = jax.lax.scan(
+        body, (tok, state, active), None, length=n)
+    return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(valid, 0, 1), state, active
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
-                 state: SlotState, slot: jnp.ndarray):
+                 state: SlotState, slot: jnp.ndarray,
+                 true_len: Optional[jnp.ndarray] = None):
     """Prefill one slot with prompt [1, S]; other slots untouched.
 
     Runs the prompt through the stack against an empty per-slot cache and
     scatters the new K/V into ``slot``. Returns (last logits [V], state).
+
+    ``true_len`` (traced scalar <= S) supports length-bucketed prompts: the
+    prompt is right-padded to a bucket size so one compilation serves every
+    length in the bucket. Padded positions sit AFTER the real prompt; causal
+    masking keeps real queries from seeing them, the returned logits are
+    taken at ``true_len - 1``, and the slot position is set to ``true_len``
+    (decode steps overwrite the padded cache entries before attending).
     """
     B = state.k.shape[1]
     S = prompt.shape[1]
     S_max = state.k.shape[2]
+    if true_len is None:
+        true_len = jnp.int32(S)
     positions = jnp.arange(S)[None, :]
     cos, sin = llama.rope_cos_sin(cfg, positions)
     x = llama.embed_tokens(params, prompt).astype(state.k.dtype)
     mask = llama.causal_mask(S, S_max)[None, None, None]
 
-    def body(carry, xs):
-        x = carry
-        lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
+    def layer_into_slot(lp, x, k_l, v_l):
         # compute with an isolated cache for this slot
         k_slot = jnp.zeros((1, S_max, cfg.num_kv_heads, cfg.head_dim),
                            state.k.dtype)
@@ -145,16 +199,28 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         x, (k_slot, v_slot) = _slot_layer(
             lp, cfg, x, cos, sin, (k_slot, v_slot),
             jnp.zeros((1,), jnp.int32), mask)
-        k_l = jax.lax.dynamic_update_slice(
-            k_l, k_slot, (slot, 0, 0, 0))
-        v_l = jax.lax.dynamic_update_slice(
-            v_l, v_slot, (slot, 0, 0, 0))
-        return x, (k_l, v_l)
+        k_l = jax.lax.dynamic_update_slice(k_l, k_slot, (slot, 0, 0, 0))
+        v_l = jax.lax.dynamic_update_slice(v_l, v_slot, (slot, 0, 0, 0))
+        return x, k_l, v_l
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], state.k, state.v))
-    logits = llama.unembed(params, cfg, x)[0, -1]
-    new_pos = state.pos.at[slot].set(S)
+    if isinstance(params["layers"], (tuple, list)):
+        k_new, v_new = state.k, state.v
+        for li, lp in enumerate(params["layers"]):
+            x, k_l, v_l = layer_into_slot(lp, x, k_new[li], v_new[li])
+            k_new = k_new.at[li].set(k_l)
+            v_new = v_new.at[li].set(v_l)
+    else:
+        def body(carry, xs):
+            x = carry
+            lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
+            x, k_l, v_l = layer_into_slot(lp, x, k_l, v_l)
+            return x, (k_l, v_l)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], state.k, state.v))
+    x_last = jax.lax.dynamic_index_in_dim(x, true_len - 1, axis=1)
+    logits = llama.unembed(params, cfg, x_last)[0, 0]
+    new_pos = state.pos.at[slot].set(true_len)
     return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
 
 
@@ -172,7 +238,7 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: ModelConfig, slots: int = 4,
                  max_seq: int = 512, eos_id: Optional[int] = None,
-                 kv_dtype=jnp.bfloat16, mesh=None):
+                 kv_dtype=jnp.bfloat16, mesh=None, chunk: int = 1):
         if mesh is not None:
             # tp-shard the packed weights over the mesh; the slot cache
             # shards kv-heads on 'tp' (multi-chip continuous batching —
@@ -196,6 +262,7 @@ class ContinuousBatcher:
                 v=jax.device_put(self.state.v, sh),
                 pos=self.state.pos)
         self.max_seq = max_seq
+        self.chunk = max(1, chunk)
         self.queue: List[Request] = []
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.cur_tok = np.zeros(slots, np.int32)
@@ -209,17 +276,37 @@ class ContinuousBatcher:
                                   max_new_tokens))
         return rid
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Next power-of-2 >= n (min 8): one prefill compilation per bucket
+        instead of one per distinct prompt length."""
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
     def _admit(self):
         for b in range(self.slots):
             if self.slot_req[b] is None and self.queue:
                 req = self.queue.pop(0)
+                n = len(req.prompt)
+                padded = np.zeros(self._bucket(n), np.int32)
+                padded[:n] = req.prompt
                 logits, self.state = prefill_slot(
-                    self.params, self.cfg, jnp.asarray(req.prompt[None]),
-                    self.state, jnp.int32(b))
+                    self.params, self.cfg, jnp.asarray(padded[None]),
+                    self.state, jnp.int32(b), jnp.int32(n))
                 tok = int(np.argmax(np.asarray(logits)))
                 req.out.append(tok)
                 self.cur_tok[b] = tok
                 self.slot_req[b] = req
+
+    def _retire(self, b: int):
+        req = self.slot_req[b]
+        req.done = True
+        self.finished[req.req_id] = req
+        self.slot_req[b] = None
+        # free the slot (cache left dirty; pos reset)
+        self.state = self.state.replace(pos=self.state.pos.at[b].set(0))
 
     def step(self) -> bool:
         """Admit + one decode step. Returns True if any work remains."""
@@ -242,17 +329,46 @@ class ContinuousBatcher:
             if (len(req.out) >= req.max_new_tokens
                     or (self.eos_id is not None and tok == self.eos_id)
                     or slot_len >= self.max_seq - 1):
-                req.done = True
-                self.finished[req.req_id] = req
-                self.slot_req[b] = None
-                # free the slot (cache left dirty; pos reset)
-                self.state = self.state.replace(
-                    pos=self.state.pos.at[b].set(0))
+                self._retire(b)
+        return any(r is not None for r in self.slot_req) or bool(self.queue)
+
+    def step_chunk(self) -> bool:
+        """Admit + ``self.chunk`` decode steps on device (one host
+        round-trip). Slots freeze on-device at EOS / cache edge; admission
+        and retirement happen here, at the chunk boundary."""
+        self._admit()
+        active = np.array([r is not None for r in self.slot_req])
+        if not active.any():
+            return bool(self.queue)
+        toks, valid, self.state, _ = decode_chunk_slots(
+            self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
+            jnp.asarray(active), self.chunk, self.eos_id)
+        toks = np.asarray(toks)
+        valid = np.asarray(valid)
+        pos_host = np.asarray(self.state.pos)
+        for b in range(self.slots):
+            req = self.slot_req[b]
+            if req is None:
+                continue
+            hit_eos = False
+            for i in range(self.chunk):
+                if not valid[b, i] or len(req.out) >= req.max_new_tokens:
+                    break
+                tok = int(toks[b, i])
+                req.out.append(tok)
+                self.cur_tok[b] = tok
+                if self.eos_id is not None and tok == self.eos_id:
+                    hit_eos = True
+                    break
+            if (hit_eos or len(req.out) >= req.max_new_tokens
+                    or int(pos_host[b]) >= self.max_seq - 1):
+                self._retire(b)
         return any(r is not None for r in self.slot_req) or bool(self.queue)
 
     def run(self, max_steps: int = 10000) -> Dict[int, Request]:
         steps = 0
-        while self.step():
+        step = self.step_chunk if self.chunk > 1 else self.step
+        while step():
             steps += 1
             if steps > max_steps:
                 raise RuntimeError("batcher did not converge")

@@ -117,3 +117,61 @@ def test_model_api_shard_generate(tmp_path):
         lm2.shard(mesh)
         out, _ = lm2.generate(prompt, max_new_tokens=6)
     np.testing.assert_array_equal(out, out_ref)
+
+
+def test_chunked_batcher_matches_single_step(model):
+    cfg, params = model
+    prompts = [
+        np.array([3, 14, 15, 92], np.int32),
+        np.array([7, 1], np.int32),
+        np.array([42, 5, 9, 11, 60], np.int32),
+        np.array([8, 88], np.int32),
+    ]
+    lens = [6, 9, 4, 11]
+
+    ref = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                            kv_dtype=jnp.float32)
+    rids = [ref.submit(p, n) for p, n in zip(prompts, lens)]
+    ref_done = ref.run()
+
+    # chunk=5 does not divide any request length -> exercises truncation
+    b = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                          kv_dtype=jnp.float32, chunk=5)
+    ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+    done = b.run()
+    assert sorted(done.keys()) == sorted(ids)
+    for rid, ref_id in zip(ids, rids):
+        assert done[rid].out == ref_done[ref_id].out, (
+            rid, done[rid].out, ref_done[ref_id].out)
+
+
+def test_chunked_batcher_eos_freezes_on_device(model):
+    cfg, params = model
+    p = np.array([3, 14, 15], np.int32)
+    out, _ = engine.generate(params, cfg, p[None], 8, kv_dtype=jnp.float32)
+    second = int(out[0, len(p) + 1])
+    b = ContinuousBatcher(params, cfg, slots=1, max_seq=64, eos_id=second,
+                          kv_dtype=jnp.float32, chunk=6)
+    rid = b.submit(p, 8)
+    done = b.run()
+    assert done[rid].out[-1] == second
+    assert len(done[rid].out) == 2
+
+
+def test_chunked_batcher_unrolled_layers(model):
+    cfg, params = model
+    prompts = [np.array([3, 14, 15, 92], np.int32),
+               np.array([7, 1], np.int32)]
+    lens = [6, 5]
+    ref = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                            kv_dtype=jnp.float32)
+    rids = [ref.submit(p, n) for p, n in zip(prompts, lens)]
+    ref_done = ref.run()
+
+    un = engine.unroll_layers(params)
+    b = ContinuousBatcher(un, cfg, slots=2, max_seq=64,
+                          kv_dtype=jnp.float32, chunk=4)
+    ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+    done = b.run()
+    for rid, ref_id in zip(ids, rids):
+        assert done[rid].out == ref_done[ref_id].out

@@ -72,8 +72,10 @@ def main():
                       float(ppl))
         print(f"fp32 ppl/byte: {ppl:.4f}", flush=True)
 
-    def run(bits, family, nosal=False):
+    def run(bits, family, nosal=False, groups=1):
         key = f"{bits}bit-{family}" + ("-nosal" if nosal else "")
+        if groups != 1:
+            key += f"-g{groups}"
         if has_result(args.results, name, "ppl", "pycorpus-val", key):
             print(f"{key}: cached", flush=True)
             return
@@ -82,7 +84,7 @@ def main():
             name, cfg=cfg, params=params, seed_precision=bits,
             cache_dir=args.cache_dir, dataset="pycorpus",
             seq_len=args.seq, num_examples=args.num_examples,
-            num_groups=1, num_iterations=3, cd_cycles=4,
+            num_groups=groups, num_iterations=3, cd_cycles=4,
             is_nosal=nosal, shared_shape_tile=tile,
             codebook_family=family if family != "shared" else "free",
             tokens=calib_tokens)
@@ -96,11 +98,14 @@ def main():
     wanted = args.configs or ["4-free", "3-free", "2-free", "2-affine",
                               "2-shared", "nosal"]
     for w in wanted:
-        if w == "nosal":
-            run(2, "free", nosal=True)
+        parts = w.split("-")
+        groups = 1
+        if parts[-1].startswith("g") and parts[-1][1:].isdigit():
+            groups = int(parts.pop()[1:])
+        if parts[0] == "nosal":
+            run(2, "free", nosal=True, groups=groups)
         else:
-            bits, family = w.split("-")
-            run(int(bits), family)
+            run(int(parts[0]), parts[1], groups=groups)
 
     with open(args.results) as f:
         res = json.load(f)
