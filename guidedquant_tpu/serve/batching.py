@@ -224,6 +224,68 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
     return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
+                  state: SlotState, slot_ids: jnp.ndarray,
+                  true_lens: jnp.ndarray, valid: jnp.ndarray):
+    """Batched admission: prefill up to B waiting requests in ONE forward.
+
+    ``prompts`` [B, S] (length-bucketed, right-padded), ``slot_ids`` [B] a
+    permutation of all slots whose first rows are the slots being filled
+    (``valid`` marks them; invalid rows are dummy work whose cache writes
+    are discarded). One compilation per (B, S) bucket; B is always the full
+    slot count so occupancy never recompiles. Sequential per-request
+    prefill was the dominant served-throughput cost (see PERF_NOTES).
+
+    Returns (logits [B, V], state).
+    """
+    B, S = prompts.shape
+    S_max = state.k.shape[2]
+    positions = jnp.arange(S)[None, :]
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+    x = llama.embed_tokens(params, prompts).astype(state.k.dtype)
+    mask = llama.causal_mask(S, S_max)[None, None, None]
+    vmask = valid[:, None, None, None]
+
+    def layer_into_slots(lp, x, k_l, v_l):
+        k_new = jnp.zeros((B, S_max, cfg.num_kv_heads, cfg.head_dim),
+                          state.k.dtype)
+        v_new = jnp.zeros_like(k_new)
+        x, (k_new, v_new) = _slot_layer(
+            lp, cfg, x, cos, sin, (k_new, v_new),
+            jnp.zeros((B,), jnp.int32), mask)
+        # slot_ids is a permutation -> unique scatter indices; dummy rows
+        # write their slot's existing cache back unchanged.
+        k_l = k_l.at[slot_ids].set(jnp.where(vmask, k_new, k_l[slot_ids]))
+        v_l = v_l.at[slot_ids].set(jnp.where(vmask, v_new, v_l[slot_ids]))
+        return x, k_l, v_l
+
+    if isinstance(params["layers"], (tuple, list)):
+        k_all, v_all = state.k, state.v
+        for li, lp in enumerate(params["layers"]):
+            x, k_l, v_l = layer_into_slots(lp, x, k_all[li], v_all[li])
+            k_all = k_all.at[li].set(k_l)
+            v_all = v_all.at[li].set(v_l)
+    else:
+        def body(carry, xs):
+            x = carry
+            lp, k_l, v_l = xs
+            x, k_l, v_l = layer_into_slots(lp, x, k_l, v_l)
+            return x, (k_l, v_l)
+
+        x, (k_all, v_all) = jax.lax.scan(
+            body, x, (params["layers"], state.k, state.v))
+
+    x_last = jax.vmap(
+        lambda xr, n: jax.lax.dynamic_index_in_dim(xr, n - 1, axis=0,
+                                                   keepdims=False)
+    )(x, true_lens)  # [B, D]
+    logits = llama.unembed(params, cfg, x_last[:, None])[:, 0]
+    new_pos = state.pos.at[slot_ids].set(
+        jnp.where(valid, true_lens, state.pos[slot_ids]))
+    return logits, SlotState(k=k_all, v=v_all, pos=new_pos)
+
+
 @dataclass
 class Request:
     req_id: int
@@ -286,19 +348,33 @@ class ContinuousBatcher:
         return b
 
     def _admit(self):
-        for b in range(self.slots):
-            if self.slot_req[b] is None and self.queue:
-                req = self.queue.pop(0)
-                n = len(req.prompt)
-                padded = np.zeros(self._bucket(n), np.int32)
-                padded[:n] = req.prompt
-                logits, self.state = prefill_slot(
-                    self.params, self.cfg, jnp.asarray(padded[None]),
-                    self.state, jnp.int32(b), jnp.int32(n))
-                tok = int(np.argmax(np.asarray(logits)))
-                req.out.append(tok)
-                self.cur_tok[b] = tok
-                self.slot_req[b] = req
+        free = [b for b in range(self.slots) if self.slot_req[b] is None]
+        take = min(len(free), len(self.queue))
+        if take == 0:
+            return
+        reqs = [self.queue.pop(0) for _ in range(take)]
+        bucket = max(self._bucket(len(r.prompt)) for r in reqs)
+        prompts = np.zeros((self.slots, bucket), np.int32)
+        true_lens = np.ones(self.slots, np.int32)  # dummies index row 0
+        valid = np.zeros(self.slots, bool)
+        slot_ids = np.asarray(
+            free[:take] + [b for b in range(self.slots)
+                           if b not in free[:take]], np.int32)
+        for i, r in enumerate(reqs):
+            prompts[i, :len(r.prompt)] = r.prompt
+            true_lens[i] = len(r.prompt)
+            valid[i] = True
+        logits, self.state = prefill_slots(
+            self.params, self.cfg, jnp.asarray(prompts), self.state,
+            jnp.asarray(slot_ids), jnp.asarray(true_lens),
+            jnp.asarray(valid))
+        toks = np.argmax(np.asarray(logits), axis=-1)
+        for i, req in enumerate(reqs):
+            b = int(slot_ids[i])
+            tok = int(toks[i])
+            req.out.append(tok)
+            self.cur_tok[b] = tok
+            self.slot_req[b] = req
 
     def _retire(self, b: int):
         req = self.slot_req[b]
