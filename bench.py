@@ -191,8 +191,10 @@ def _run_1b(quick):
     family = os.environ.get("BENCH_FAMILY", "affine")
     if os.environ.get("BENCH_SHARED", "1") != "1":  # legacy knob
         family = "free"
-    qparams = fuse_projections(
-        _build_quantized_llama(cfg, 0, bits=2, family=family))
+    from guidedquant_tpu.serve.fuse import fusable
+    qparams = _build_quantized_llama(cfg, 0, bits=2, family=family)
+    if fusable(qparams):  # trellis (QTIP) serves unfused, like the
+        qparams = fuse_projections(qparams)  # reference's no_fuse converter
     if os.environ.get("BENCH_INT8_HEAD", "1") == "1":
         from guidedquant_tpu.nn.linear import quantize_int8
         head = qparams.get("lm_head", qparams["embed"])
@@ -207,8 +209,9 @@ def _run_1b(quick):
     q_tok_s = _decode_tok_s(qparams, cfg_q, n_tokens)
 
     ratio = q_tok_s / bf16_tok_s
+    tag = "" if family == "affine" else "_" + family
     return {
-        "metric": "decode_speedup_2bit_vs_bf16_llama1b_1chip",
+        "metric": "decode_speedup_2bit_vs_bf16_llama1b_1chip" + tag,
         "value": round(ratio, 4),
         "unit": "x (ratio of tok/s; bf16=%.1f, 2bit=%.1f tok/s)" % (
             bf16_tok_s, q_tok_s),

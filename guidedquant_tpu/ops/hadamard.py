@@ -225,21 +225,45 @@ def get_hadK(n: int) -> Tuple[Optional[np.ndarray], int]:
 # Transforms (JAX)
 # ---------------------------------------------------------------------------
 
+_SYLVESTER_CACHE: dict = {}
+
+
+def _sylvester(n: int) -> np.ndarray:
+    """Dense unnormalized Sylvester Hadamard H_n (entries +-1), cached."""
+    H = _SYLVESTER_CACHE.get(n)
+    if H is None:
+        H = np.array([[1.0]], np.float32)
+        while H.shape[0] < n:
+            H = np.block([[H, H], [H, -H]])
+        _SYLVESTER_CACHE[n] = H
+    return H
+
+
 def fwht(x: jnp.ndarray) -> jnp.ndarray:
-    """Unnormalized FWHT along the last axis (power-of-two length)."""
+    """Unnormalized FWHT along the last axis (power-of-two length).
+
+    Kronecker form: Sylvester ordering satisfies H_{ab} = H_a (x) H_b, so
+    the transform is TWO dense +-1 matmuls on a [..., a, b] view (MXU work,
+    f32 accumulation) instead of a log2(n)-pass butterfly — on TPU decode
+    ([1, n] activations) the butterfly was ~11 sequential VPU passes per
+    online Hadamard, which dominated the QTIP serving step.
+    """
     n = x.shape[-1]
     assert is_pow2(n), n
     shape = x.shape
-    steps = n.bit_length() - 1
-    y = x.reshape(-1, n)
-    h = 1
-    for _ in range(steps):
-        y = y.reshape(-1, n // (2 * h), 2, h)
-        a = y[:, :, 0, :]
-        b = y[:, :, 1, :]
-        y = jnp.stack([a + b, a - b], axis=2)
-        h *= 2
-    return y.reshape(shape)
+    pref = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else None
+    a = 1 << ((n.bit_length() - 1) // 2)  # a <= sqrt(n) <= b, both pow2
+    b = n // a
+    if a == 1:
+        H = jnp.asarray(_sylvester(n), x.dtype)
+        return jnp.matmul(x, H, preferred_element_type=pref).astype(x.dtype)
+    Ha = jnp.asarray(_sylvester(a), x.dtype)
+    Hb = jnp.asarray(_sylvester(b), x.dtype)
+    xr = x.reshape(-1, a, b)
+    y = jnp.einsum("zij,jq->ziq", xr, Hb, preferred_element_type=pref)
+    y = jnp.einsum("pi,ziq->zpq", Ha.astype(y.dtype), y,
+                   preferred_element_type=pref)
+    return y.astype(x.dtype).reshape(shape)
 
 
 def matmul_hadU(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

@@ -97,3 +97,24 @@ def test_int8_head_close_to_dense(model):
     import jax as _jax
     y0 = np.asarray(apply_linear(_jax.tree_util.tree_map(lambda a: a[0], lin_s), x))
     np.testing.assert_allclose(y0, y, atol=1e-5)
+
+
+def test_trellis_family_engine_decode():
+    """QTIP-serving smoke: a trellis-quantized (kwords) model decodes
+    through the engine, scan and unrolled paths agree (the bench's
+    BENCH_FAMILY=trellis build)."""
+    from guidedquant_tpu.models import get_config
+    from guidedquant_tpu.serve import engine
+    from __graft_entry__ import _build_quantized_llama
+
+    cfg = get_config("tiny").replace(
+        max_seq_len=128, hidden_size=256, intermediate_size=512,
+        num_heads=4, num_kv_heads=4, head_dim=64, num_layers=2)
+    params = _build_quantized_llama(cfg, 0, family="trellis")
+    state = engine.init_state(cfg, cfg.num_layers, 1, 64)
+    toks, _, _ = engine.decode_n_tokens(params, cfg,
+                                        jnp.zeros((1,), jnp.int32), state, 4)
+    state2 = engine.init_state(cfg, cfg.num_layers, 1, 64)
+    toks2, _, _ = engine.decode_n_tokens(engine.unroll_layers(params), cfg,
+                                         jnp.zeros((1,), jnp.int32), state2, 4)
+    assert np.array_equal(np.asarray(toks), np.asarray(toks2))
