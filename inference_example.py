@@ -18,14 +18,23 @@ def main():
     p.add_argument("--kv_bits", type=int, default=16)
     args = p.parse_args()
 
+    import os
+
     import numpy as np
     from transformers import AutoTokenizer
-    from guidedquant_tpu.formats.anyprec import load_packed
     from guidedquant_tpu.serve import engine
     from guidedquant_tpu.serve.fuse import fuse_projections, fusable
 
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
-    cfg, params = load_packed(args.model_dir, precision=args.precision)
+    if os.path.basename(args.model_dir).startswith("qtip-"):
+        # QTIP trellis checkpoint (the reference's interactive_gen analog,
+        # qtip/eval/interactive_gen.py); serves unfused like its no_fuse
+        # converter.
+        from guidedquant_tpu.formats import qtip_format
+        cfg, params = qtip_format.load_packed(args.model_dir)
+    else:
+        from guidedquant_tpu.formats.anyprec import load_packed
+        cfg, params = load_packed(args.model_dir, precision=args.precision)
     if fusable(params):
         params = fuse_projections(params)
 
