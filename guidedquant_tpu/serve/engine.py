@@ -32,6 +32,14 @@ class DecodeState:
     KV4 path is SpinQuant's K/V fake quant, rotation_utils.py:150-229 —
     here it is a real integer cache). ``r3`` applies the online per-head
     Hadamard to q and k before caching (exact, improves K quantizability).
+
+    Ring-window mode (``wk is not None``): sliding-attention layers (Gemma3
+    ``cfg.layer_types``) keep only the last W positions in a ring buffer
+    ``wk/wv [L_sliding, B, W, KV, Dh]`` written at ``pos % W``; ``k/v`` then
+    hold ONLY the global layers ``[L_global, B, S_max, ...]``. At long
+    contexts this cuts both cache memory and sliding-layer attention from
+    O(S_max) to O(W) (the reference has no long-context serving path at
+    all — SURVEY §5.7).
     """
 
     k: jnp.ndarray  # [L, B, S_max, KV, Dh] (dtype or int8)
@@ -39,22 +47,46 @@ class DecodeState:
     pos: jnp.ndarray  # [] int32 — number of tokens already in cache
     k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, KV, 1] f32
     v_scale: Optional[jnp.ndarray] = None
+    wk: Optional[jnp.ndarray] = None  # [Lw, B, W, KV, Dh] sliding rings
+    wv: Optional[jnp.ndarray] = None
+    wk_scale: Optional[jnp.ndarray] = None
+    wv_scale: Optional[jnp.ndarray] = None
     kv_bits: int = struct.field(pytree_node=False, default=16)
     r3: bool = struct.field(pytree_node=False, default=False)
 
 
 def init_state(cfg: ModelConfig, num_layers: int, batch: int, max_seq: int,
                dtype=jnp.bfloat16, sharding=None, kv_bits: int = 16,
-               r3: bool = False) -> DecodeState:
-    shape = (num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
-    if kv_bits < 16:
-        z = jnp.zeros(shape, jnp.int8)
-        s = jnp.zeros(shape[:-1] + (1,), jnp.float32)
-    else:
-        z = jnp.zeros(shape, dtype)
-        s = None
-    if sharding is not None:
-        z = jax.device_put(z, sharding)
+               r3: bool = False, window: int = 0) -> DecodeState:
+    """``window > 0`` (requires ``cfg.layer_types``) allocates ring buffers
+    of that many positions for the sliding layers instead of full-timeline
+    caches; decode must then run on ``unroll_layers`` params."""
+
+    def _alloc(L, T):
+        shape = (L, batch, T, cfg.num_kv_heads, cfg.head_dim)
+        if kv_bits < 16:
+            z = jnp.zeros(shape, jnp.int8)
+            s = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+        else:
+            z = jnp.zeros(shape, dtype)
+            s = None
+        if sharding is not None:
+            z = jax.device_put(z, sharding)
+        return z, s
+
+    if window > 0:
+        assert cfg.layer_types and len(cfg.layer_types) == num_layers, \
+            "ring-window cache requires per-layer types (cfg.layer_types)"
+        Lg = sum(t == "global" for t in cfg.layer_types)
+        z, s = _alloc(Lg, max_seq)
+        wz, ws = _alloc(num_layers - Lg, min(window, max_seq))
+        return DecodeState(
+            k=z, v=jnp.copy(z), pos=jnp.array(0, jnp.int32),
+            k_scale=s, v_scale=None if s is None else jnp.copy(s),
+            wk=wz, wv=jnp.copy(wz),
+            wk_scale=ws, wv_scale=None if ws is None else jnp.copy(ws),
+            kv_bits=kv_bits, r3=r3)
+    z, s = _alloc(num_layers, max_seq)
     return DecodeState(k=z, v=jnp.copy(z), pos=jnp.array(0, jnp.int32),
                        k_scale=s, v_scale=None if s is None else jnp.copy(s),
                        kv_bits=kv_bits, r3=r3)
@@ -84,7 +116,8 @@ def _attend(cfg: ModelConfig, q, k_all, v_all, t_mask):
 
 
 def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
-                kv_bits: int = 16, r3: bool = False, layer_idx=None):
+                kv_bits: int = 16, r3: bool = False, layer_idx=None,
+                ring: bool = False):
     """One decoder layer with cache write at ``write_pos`` (length-S block).
 
     kv_l: (k_cache [B, S_max, KV, Dh], v_cache[, k_scale, v_scale]);
@@ -92,6 +125,12 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
     [L, B, S_max, KV, Dh] arrays — the new k/v are point-written in place at
     (layer_idx, :, write_pos) instead of rewriting a per-layer slab (the
     slab round-trip costs ~20 us/layer at 8B geometry).
+
+    ``ring=True``: the stacked caches are W-position ring buffers (position
+    p lives at slot p % W). The ring is read BEFORE the write and attention
+    runs over concat(ring, fresh block) — so a block prefill longer than W
+    never attends to slots it just overwrote; ``t_mask`` must then be the
+    [S, W + S] ring mask from ``_run_stack``. Requires ``layer_idx``.
     Returns (out, new_kv_l).
     """
     from ..nn.linear import apply_linear
@@ -132,7 +171,45 @@ def _layer_step(lp, cfg: ModelConfig, x, cos, sin, kv_l, write_pos, t_mask,
     def _read(cache):
         return cache if layer_idx is None else cache[layer_idx]
 
-    if kv_bits < 16:
+    if ring:
+        assert layer_idx is not None, "ring cache requires unrolled layers"
+        Wb = kv_l[0].shape[2]
+        m = min(S, Wb)
+
+        def _ring_write(cache, val):
+            val = val.astype(cache.dtype)
+            if S == 1:
+                slot = jnp.mod(write_pos, Wb)
+                return jax.lax.dynamic_update_slice(
+                    cache, val[None], (layer_idx, 0, slot, 0, 0))
+            # block write: only the last m = min(S, W) tokens can survive;
+            # their slots are distinct, so a plain scatter is exact
+            slots = jnp.mod(write_pos + (S - m) + jnp.arange(m), Wb)
+            slab = cache[layer_idx].at[:, slots].set(val[:, S - m:])
+            return cache.at[layer_idx].set(slab)
+
+        if kv_bits < 16:
+            k_cache, v_cache, k_scale, v_scale = kv_l
+            rk = (k_cache[layer_idx].astype(jnp.float32)
+                  * k_scale[layer_idx]).astype(q.dtype)
+            rv = (v_cache[layer_idx].astype(jnp.float32)
+                  * v_scale[layer_idx]).astype(q.dtype)
+            kq, ks = _kv_quant(k, kv_bits)
+            vq, vs = _kv_quant(v, kv_bits)
+            # fresh block attends at full precision only through its own
+            # quantized codes for consistency with the dense-cache path
+            kd = (kq.astype(jnp.float32) * ks).astype(q.dtype)
+            vd = (vq.astype(jnp.float32) * vs).astype(q.dtype)
+            new_kv = (_ring_write(k_cache, kq), _ring_write(v_cache, vq),
+                      _ring_write(k_scale, ks), _ring_write(v_scale, vs))
+        else:
+            k_cache, v_cache = kv_l[:2]
+            rk, rv = k_cache[layer_idx], v_cache[layer_idx]
+            kd, vd = k.astype(rk.dtype), v.astype(rv.dtype)
+            new_kv = (_ring_write(k_cache, k), _ring_write(v_cache, v))
+        k_all = jnp.concatenate([rk, kd], axis=1)
+        v_all = jnp.concatenate([rv, vd], axis=1)
+    elif kv_bits < 16:
         k_cache, v_cache, k_scale, v_scale = kv_l
         kq, ks = _kv_quant(k, kv_bits)
         vq, vs = _kv_quant(v, kv_bits)
@@ -206,6 +283,7 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
 
     quant = state.kv_bits < 16
     per_layer = bool(cfg.layer_types)
+    windowed = state.wk is not None
     if per_layer:
         # Gemma3: local-theta rope + sliding mask on 'sliding' layers.
         # Selected per layer INSIDE the scan body from a [L] flag — the
@@ -215,10 +293,24 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
         local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
                                 rope_scaling=None)
         cos_l, sin_l = llama.rope_cos_sin(local_cfg, positions)
-        sliding_mask = jnp.where(
-            (t_ids <= positions[0][:, None]) &
-            (t_ids > positions[0][:, None] - cfg.sliding_window),
-            0.0, -1e30)
+        if windowed:
+            # Ring mask over concat(ring slots, fresh block): slot j of a
+            # W-ring holds global position (pos-1) - ((pos-1-j) mod W)
+            # (negative = never written); fresh keys sit at the block's
+            # own positions. Query p_i sees keys in (p_i - W, p_i].
+            Wb = state.wk.shape[2]
+            pm1 = state.pos - 1
+            g_ring = pm1 - jnp.mod(pm1 - jnp.arange(Wb), Wb)
+            g_all = jnp.concatenate([g_ring, positions[0]])[None, :]
+            p_i = positions[0][:, None]
+            ring_mask = jnp.where(
+                (g_all >= 0) & (g_all <= p_i)
+                & (g_all > p_i - cfg.sliding_window), 0.0, -1e30)
+        else:
+            sliding_mask = jnp.where(
+                (t_ids <= positions[0][:, None]) &
+                (t_ids > positions[0][:, None] - cfg.sliding_window),
+                0.0, -1e30)
         is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
 
     if isinstance(params["layers"], (tuple, list)):
@@ -227,16 +319,32 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
         # its new k/v in place (no per-layer slab rewrites).
         kv_l = (state.k, state.v) + ((state.k_scale, state.v_scale)
                                      if quant else ())
+        if windowed:
+            kv_w = (state.wk, state.wv) + ((state.wk_scale, state.wv_scale)
+                                           if quant else ())
+        gi = wi = 0
         for i, lp in enumerate(params["layers"]):
-            if per_layer and cfg.layer_types[i] != "global":
+            sliding = per_layer and cfg.layer_types[i] != "global"
+            if windowed and sliding:
+                x, kv_w = _layer_step(lp, cfg, x, cos_l, sin_l, kv_w,
+                                      state.pos, ring_mask,
+                                      kv_bits=state.kv_bits, r3=state.r3,
+                                      layer_idx=wi, ring=True)
+                wi += 1
+                continue
+            if sliding:
                 c_, s_, mk = cos_l, sin_l, sliding_mask  # static branch
             else:
                 c_, s_, mk = cos, sin, t_mask
             x, kv_l = _layer_step(lp, cfg, x, c_, s_, kv_l, state.pos,
                                   mk, kv_bits=state.kv_bits, r3=state.r3,
-                                  layer_idx=i)
+                                  layer_idx=gi)
+            gi += 1
         new_kv = kv_l
+        new_kv_w = kv_w if windowed else None
     else:
+        assert not windowed, \
+            "ring-window decode requires unroll_layers(params)"
         def body(carry, xs):
             x = carry
             if per_layer:
@@ -259,11 +367,16 @@ def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
         if quant:
             xs = xs + (state.k_scale, state.v_scale)
         x, new_kv = jax.lax.scan(body, x, xs)
+        new_kv_w = None
     logits = llama.unembed(params, cfg, x)
     new_state = DecodeState(
         k=new_kv[0], v=new_kv[1], pos=state.pos + jnp.int32(S),
         k_scale=new_kv[2] if quant else None,
         v_scale=new_kv[3] if quant else None,
+        wk=new_kv_w[0] if windowed else None,
+        wv=new_kv_w[1] if windowed else None,
+        wk_scale=new_kv_w[2] if windowed and quant else None,
+        wv_scale=new_kv_w[3] if windowed and quant else None,
         kv_bits=state.kv_bits, r3=state.r3)
     return logits, new_state
 
@@ -362,7 +475,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              max_new_tokens: int, max_seq: Optional[int] = None,
              temperature: float = 0.0, top_k: Optional[int] = None,
              kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
-             seed: int = 0, kv_sharding=None,
+             seed: int = 0, kv_sharding=None, window: int = 0,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Generate loop with gpt-fast-style metrics (tok/s; reference
     generate.py:145-186, 374-381). Decode runs device-side in
@@ -373,7 +486,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     L = cfg.num_layers
     max_seq = max_seq or min(cfg.max_seq_len, S + max_new_tokens)
     state = init_state(cfg, L, B, max_seq, dtype=kv_dtype, kv_bits=kv_bits,
-                       r3=r3, sharding=kv_sharding)
+                       r3=r3, sharding=kv_sharding, window=window)
     key = jax.random.PRNGKey(seed)
 
     t0 = time.perf_counter()
