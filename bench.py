@@ -114,7 +114,10 @@ def _build_quantized_device(cfg, bits=2, seed=7):
             srow=s.astype(jnp.float32), mrow=m.astype(jnp.float32),
             precision=b, out_features=out_f, in_features=in_f)
 
-    pad_down = int(os.environ.get("BENCH_PAD_DOWN", "2"))
+    # down-proj k-tiles: unpadded 7 tiles + 1-tile grid steps measured
+    # faster than the old pad-to-8 + block_k=2 (160.3 vs 154.5 tok/s full
+    # step) once block_k pipelining landed; pad only on request.
+    pad_down = int(os.environ.get("BENCH_PAD_DOWN", "1"))
     # fused leaves built directly (avoids 2x transient HBM from concat)
     layers = {
         "attn_norm": jnp.ones((L, d), jnp.bfloat16),

@@ -502,9 +502,12 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
     assert K_pad == n_ktiles * TK
     assert N % tile_n == 0, (N, tile_n)
     if block_k == 0:
-        cap = max(1, (2 * 1024 * 1024) // (tile_n * TK * 2))
-        block_k = max(bk for bk in range(1, n_ktiles + 1)
-                      if n_ktiles % bk == 0 and bk <= cap)
+        # Measured policy (8B shapes, v5e): when all of K fits one grid
+        # step (<= 4096 values decoded per step), a single j-step wins (no
+        # pipeline bubbles, e.g. gate_up 87.6 -> 75.0 us at tile_n=512);
+        # for long K, 1-tile steps pipeline best (down 14336: 51.9 -> 43.6
+        # us). See tools/perf/affine_tune.py.
+        block_k = n_ktiles if n_ktiles * TK <= 4096 else 1
     assert n_ktiles % block_k == 0, (n_ktiles, block_k)
     n_jsteps = n_ktiles // block_k
 
@@ -554,7 +557,11 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
     if K_pad != K:
         x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
     N = words_t[0].shape[0]
-    tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
+    # tile_n=512 measured faster than 256 at every 8B decode shape
+    # (qkv 21.5->14.6 us, o 18->15.7, gate_up 87.6->75.0, down 54.3->43.6;
+    # tools/perf/affine_tune.py), incl. batched B=8.
+    tile_n = (512 if N % 512 == 0 else 256 if N % 256 == 0
+              else 128 if N % 128 == 0 else N)
     block_k = int(os.environ.get("AFFINE_BLOCK_K", "0"))  # 0 = auto
     y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n,
                           block_k=block_k)

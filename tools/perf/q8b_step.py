@@ -1,6 +1,7 @@
 """Measure the full 2-bit 8B decode step (unrolled) — the repeatable metric
 for kernel-variant comparisons (per-kernel microbenches are too noisy over
-the axon tunnel). Env knobs: AFFINE_BLOCK_K (0=auto), Q8B_LAYERS."""
+the axon tunnel). Env knobs: AFFINE_BLOCK_K (0=auto), Q8B_LAYERS,
+Q8B_BATCH."""
 import os, sys, time
 import numpy as np
 sys.path.insert(0, '/root/repo')
@@ -11,6 +12,7 @@ import importlib
 bench = importlib.import_module("bench")
 
 L = int(os.environ.get("Q8B_LAYERS", "32"))
+B = int(os.environ.get("Q8B_BATCH", "1"))
 cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024, num_layers=L)
 qp, cq = bench._build_quantized_device(cfg, bits=2)
 qp = engine.unroll_layers(qp)
@@ -24,19 +26,19 @@ for _ in range(5):
     ov = min(ov, time.perf_counter() - t0)
 
 n = 48
-state = engine.init_state(cq, L, 1, 640)
-tok = jnp.zeros((1,), jnp.int32)
+state = engine.init_state(cq, L, B, 640)
+tok = jnp.zeros((B,), jnp.int32)
 t0 = time.perf_counter()
 _, t2, _ = engine.decode_n_tokens(qp, cq, tok, state, n)
 np.asarray(t2)
 print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 best = 1e9
 for _ in range(4):
-    st = engine.init_state(cq, L, 1, 640)
+    st = engine.init_state(cq, L, B, 640)
     t0 = time.perf_counter()
     _, t2, st = engine.decode_n_tokens(qp, cq, tok, st, n)
     np.asarray(t2)
     best = min(best, time.perf_counter() - t0)
 step = (best - ov) / n
-print(f"L={L} block_k={os.environ.get('AFFINE_BLOCK_K','0')}: "
-      f"{step*1e3:.3f} ms/step ({1.0/step:.1f} tok/s)", flush=True)
+print(f"L={L} B={B} block_k={os.environ.get('AFFINE_BLOCK_K','0')}: "
+      f"{step*1e3:.3f} ms/step ({B/step:.1f} tok/s/chip)", flush=True)
