@@ -241,6 +241,17 @@ def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
         # AnyPrecisionLinear.py:69-74).
         y = lut_kernels.lut_matmul(x, w.qwords, w.pcoef,
                                    w.precision, w.out_features)
+    elif (w.qwords is not None and w.srow is not None and w.gpoly is None
+            and w.pcoef is None):
+        # Affine prefill: dequantize straight from the lane-tiled kernel
+        # operand (w = m + s*codes) — one traceable shift/mask decode, no
+        # bit-plane checkpoint needed on device, numerically identical to
+        # the fused decode kernel's epilogue.
+        codes = lut_kernels.unpack_lane_tiled(w.qwords, w.precision,
+                                              w.in_features)
+        dense = (w.mrow[:, None] + w.srow[:, None]
+                 * codes.astype(jnp.float32)).astype(x.dtype)
+        y = jnp.einsum("...k,nk->...n", x, dense[:w.out_features])
     else:
         # Prefill / fallback: gather-free dequant + MXU matmul.
         dense = dequantize_anyprec(w, dtype=x.dtype)

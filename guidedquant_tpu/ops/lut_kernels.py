@@ -131,6 +131,37 @@ def unpack_lane_tiled_np(words, bits: int, K: int) -> np.ndarray:
     return out
 
 
+def unpack_lane_tiled(words, bits: int, K: int) -> jnp.ndarray:
+    """Traceable (XLA) lane-tiled decode: words -> codes [N, K] int32.
+
+    The jnp mirror of ``unpack_lane_tiled_np`` — lets the prefill/dequant
+    path run straight off the kernel operand (no bit-plane checkpoint
+    needed on device).
+    """
+    fs = FIELD_SPLIT[bits]
+    TK = tile_k_for(bits)
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
+
+    def one(w_f, f):
+        per_word = 32 // f
+        W = TK * f // 32
+        N = w_f.shape[0]
+        w = w_f.reshape(N, -1, 1, W)
+        sh = (jnp.arange(per_word, dtype=jnp.int32) * f)[None, None, :, None]
+        c = lax.shift_right_logical(w, jnp.broadcast_to(sh, w.shape[:2]
+                                                        + (per_word, W)))
+        return (c & ((1 << f) - 1)).reshape(N, -1)[:, :K]
+
+    out, rem = None, bits
+    for w_f, f in zip(words_t, fs):
+        rem -= f
+        c = one(w_f, f)
+        if rem:
+            c = c << rem
+        out = c if out is None else out | c
+    return out
+
+
 def pad_to_tiles(codes: np.ndarray, bits: int):
     """Zero-pad K to a TILE_K multiple; returns (padded codes, K_pad)."""
     TK = tile_k_for(bits)

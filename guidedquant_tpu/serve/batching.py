@@ -57,7 +57,7 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
     from ..nn.linear import apply_linear
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    h = llama._norm(cfg, x, lp["attn_norm"])
     if "qkv_proj" in lp:
         qkv = apply_linear(lp["qkv_proj"], h)
         q = qkv[..., :cfg.q_dim].reshape(B, S, H, Dh)
@@ -68,16 +68,19 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
         k = apply_linear(lp["k_proj"], h).reshape(B, S, KV, Dh)
         v = apply_linear(lp["v_proj"], h).reshape(B, S, KV, Dh)
     if cfg.qk_norm:
-        q = llama.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = llama.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = llama._norm(cfg, q, lp["q_norm"])
+        k = llama._norm(cfg, k, lp["k_norm"])
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
     k_cache, v_cache = kv_l
     k_cache = _write_slots(k_cache, k, pos)
     v_cache = _write_slots(v_cache, v, pos)
     ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
-    x = x + apply_linear(lp["o_proj"], ctx)
-    h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    attn_out = apply_linear(lp["o_proj"], ctx)
+    if cfg.sandwich_norms:
+        attn_out = llama._norm(cfg, attn_out, lp["post_attn_norm"])
+    x = x + attn_out
+    h = llama._norm(cfg, x, lp["mlp_norm"])
     if "gate_up_proj" in lp:
         gu = apply_linear(lp["gate_up_proj"], h)
         f = cfg.intermediate_size
@@ -85,8 +88,28 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
     else:
         g = apply_linear(lp["gate_proj"], h)
         u = apply_linear(lp["up_proj"], h)
-    x = x + apply_linear(lp["down_proj"], jax.nn.silu(g) * u)
-    return x, (k_cache, v_cache)
+    m = apply_linear(lp["down_proj"], llama._act(cfg, g) * u)
+    if cfg.sandwich_norms:
+        m = llama._norm(cfg, m, lp["post_mlp_norm"])
+    return x + m, (k_cache, v_cache)
+
+
+def _layer_ropes_masks(cfg: ModelConfig, positions, T: int):
+    """Per-layer-type rope/mask for cfg.layer_types models (Gemma3):
+    (cos_l, sin_l, sliding_mask [B, 1, 1, S, T], is_global), or None for
+    uniform models. ``positions`` [B, S] global query positions; the
+    mask's last axis indexes the cache timeline 0..T-1."""
+    if not cfg.layer_types:
+        return None
+    local_cfg = cfg.replace(rope_theta=cfg.rope_local_theta,
+                            rope_scaling=None)
+    cos_l, sin_l = llama.rope_cos_sin(local_cfg, positions)
+    t_ids = jnp.arange(T)[None, None, :]
+    p = positions[:, :, None]
+    sliding = jnp.where((t_ids <= p) & (t_ids > p - cfg.sliding_window),
+                        0.0, -1e30)  # [B, S, T]
+    is_global = jnp.asarray([t == "global" for t in cfg.layer_types])
+    return cos_l, sin_l, sliding[:, None, None], is_global
 
 
 def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
@@ -96,12 +119,13 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
     S_max = state.k.shape[2]
     positions = state.pos[:, None]  # [B, 1]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, tok[:, None]).astype(state.k.dtype)
+    x = llama.embed_tokens(params, tok[:, None], cfg).astype(state.k.dtype)
     t_ids = jnp.arange(S_max)[None, None, :]
     # [B, 1, S]: slot b attends to t <= pos[b]
     t_mask = jnp.where(t_ids <= positions[:, :, None], 0.0, -1e30)
     # _attend expects mask broadcastable over [B, KV, G, S, T]
     mask = t_mask[:, None, None, :, :]
+    pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
 
     if isinstance(params["layers"], (tuple, list)):
         # unrolled per-layer buffers (engine.unroll_layers): Pallas kernels
@@ -109,21 +133,34 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
         # HBM->HBM copies of scan slices.
         k_new, v_new = state.k, state.v
         for li, lp in enumerate(params["layers"]):
-            x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin,
+            if pl_ctx is not None and cfg.layer_types[li] != "global":
+                c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
+            else:
+                c_, s_, mk = cos, sin, mask
+            x, (k_l, v_l) = _slot_layer(lp, cfg, x, c_, s_,
                                         (k_new[li], v_new[li]),
-                                        state.pos, mask)
+                                        state.pos, mk)
             k_new = k_new.at[li].set(k_l)
             v_new = v_new.at[li].set(v_l)
     else:
         def body(carry, xs):
             x = carry
-            lp, k_l, v_l = xs
-            x, (k_l, v_l) = _slot_layer(lp, cfg, x, cos, sin, (k_l, v_l),
-                                        state.pos, mask)
+            if pl_ctx is not None:
+                lp, flag, k_l, v_l = xs
+                c_ = jnp.where(flag, cos, pl_ctx[0])
+                s_ = jnp.where(flag, sin, pl_ctx[1])
+                mk = jnp.where(flag, mask, pl_ctx[2])
+            else:
+                lp, k_l, v_l = xs
+                c_, s_, mk = cos, sin, mask
+            x, (k_l, v_l) = _slot_layer(lp, cfg, x, c_, s_, (k_l, v_l),
+                                        state.pos, mk)
             return x, (k_l, v_l)
 
-        x, (k_new, v_new) = jax.lax.scan(
-            body, x, (params["layers"], state.k, state.v))
+        xs = ((params["layers"],)
+              + ((pl_ctx[3],) if pl_ctx is not None else ())
+              + (state.k, state.v))
+        x, (k_new, v_new) = jax.lax.scan(body, x, xs)
     logits = llama.unembed(params, cfg, x)[:, 0]
     new_pos = jnp.where(active, state.pos + 1, state.pos)
     return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
@@ -188,17 +225,18 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         true_len = jnp.int32(S)
     positions = jnp.arange(S)[None, :]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, prompt).astype(state.k.dtype)
+    x = llama.embed_tokens(params, prompt, cfg).astype(state.k.dtype)
     mask = llama.causal_mask(S, S_max)[None, None, None]
+    pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
 
-    def layer_into_slot(lp, x, k_l, v_l):
+    def layer_into_slot(lp, x, k_l, v_l, c_, s_, mk):
         # compute with an isolated cache for this slot
         k_slot = jnp.zeros((1, S_max, cfg.num_kv_heads, cfg.head_dim),
                            state.k.dtype)
         v_slot = jnp.zeros_like(k_slot)
         x, (k_slot, v_slot) = _slot_layer(
-            lp, cfg, x, cos, sin, (k_slot, v_slot),
-            jnp.zeros((1,), jnp.int32), mask)
+            lp, cfg, x, c_, s_, (k_slot, v_slot),
+            jnp.zeros((1,), jnp.int32), mk)
         k_l = jax.lax.dynamic_update_slice(k_l, k_slot, (slot, 0, 0, 0))
         v_l = jax.lax.dynamic_update_slice(v_l, v_slot, (slot, 0, 0, 0))
         return x, k_l, v_l
@@ -206,18 +244,32 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
     if isinstance(params["layers"], (tuple, list)):
         k_new, v_new = state.k, state.v
         for li, lp in enumerate(params["layers"]):
-            x, k_l, v_l = layer_into_slot(lp, x, k_new[li], v_new[li])
+            if pl_ctx is not None and cfg.layer_types[li] != "global":
+                c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
+            else:
+                c_, s_, mk = cos, sin, mask
+            x, k_l, v_l = layer_into_slot(lp, x, k_new[li], v_new[li],
+                                          c_, s_, mk)
             k_new = k_new.at[li].set(k_l)
             v_new = v_new.at[li].set(v_l)
     else:
         def body(carry, xs):
             x = carry
-            lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
-            x, k_l, v_l = layer_into_slot(lp, x, k_l, v_l)
+            if pl_ctx is not None:
+                lp, flag, k_l, v_l = xs
+                c_ = jnp.where(flag, cos, pl_ctx[0])
+                s_ = jnp.where(flag, sin, pl_ctx[1])
+                mk = jnp.where(flag, mask, pl_ctx[2])
+            else:
+                lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
+                c_, s_, mk = cos, sin, mask
+            x, k_l, v_l = layer_into_slot(lp, x, k_l, v_l, c_, s_, mk)
             return x, (k_l, v_l)
 
-        x, (k_new, v_new) = jax.lax.scan(
-            body, x, (params["layers"], state.k, state.v))
+        xs = ((params["layers"],)
+              + ((pl_ctx[3],) if pl_ctx is not None else ())
+              + (state.k, state.v))
+        x, (k_new, v_new) = jax.lax.scan(body, x, xs)
     x_last = jax.lax.dynamic_index_in_dim(x, true_len - 1, axis=1)
     logits = llama.unembed(params, cfg, x_last)[0, 0]
     new_pos = state.pos.at[slot].set(true_len)
@@ -243,17 +295,18 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     S_max = state.k.shape[2]
     positions = jnp.arange(S)[None, :]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, prompts).astype(state.k.dtype)
+    x = llama.embed_tokens(params, prompts, cfg).astype(state.k.dtype)
     mask = llama.causal_mask(S, S_max)[None, None, None]
     vmask = valid[:, None, None, None]
+    pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
 
-    def layer_into_slots(lp, x, k_l, v_l):
+    def layer_into_slots(lp, x, k_l, v_l, c_, s_, mk):
         k_new = jnp.zeros((B, S_max, cfg.num_kv_heads, cfg.head_dim),
                           state.k.dtype)
         v_new = jnp.zeros_like(k_new)
         x, (k_new, v_new) = _slot_layer(
-            lp, cfg, x, cos, sin, (k_new, v_new),
-            jnp.zeros((B,), jnp.int32), mask)
+            lp, cfg, x, c_, s_, (k_new, v_new),
+            jnp.zeros((B,), jnp.int32), mk)
         # slot_ids is a permutation -> unique scatter indices; dummy rows
         # write their slot's existing cache back unchanged.
         k_l = k_l.at[slot_ids].set(jnp.where(vmask, k_new, k_l[slot_ids]))
@@ -263,18 +316,32 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     if isinstance(params["layers"], (tuple, list)):
         k_all, v_all = state.k, state.v
         for li, lp in enumerate(params["layers"]):
-            x, k_l, v_l = layer_into_slots(lp, x, k_all[li], v_all[li])
+            if pl_ctx is not None and cfg.layer_types[li] != "global":
+                c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
+            else:
+                c_, s_, mk = cos, sin, mask
+            x, k_l, v_l = layer_into_slots(lp, x, k_all[li], v_all[li],
+                                           c_, s_, mk)
             k_all = k_all.at[li].set(k_l)
             v_all = v_all.at[li].set(v_l)
     else:
         def body(carry, xs):
             x = carry
-            lp, k_l, v_l = xs
-            x, k_l, v_l = layer_into_slots(lp, x, k_l, v_l)
+            if pl_ctx is not None:
+                lp, flag, k_l, v_l = xs
+                c_ = jnp.where(flag, cos, pl_ctx[0])
+                s_ = jnp.where(flag, sin, pl_ctx[1])
+                mk = jnp.where(flag, mask, pl_ctx[2])
+            else:
+                lp, k_l, v_l = xs
+                c_, s_, mk = cos, sin, mask
+            x, k_l, v_l = layer_into_slots(lp, x, k_l, v_l, c_, s_, mk)
             return x, (k_l, v_l)
 
-        x, (k_all, v_all) = jax.lax.scan(
-            body, x, (params["layers"], state.k, state.v))
+        xs = ((params["layers"],)
+              + ((pl_ctx[3],) if pl_ctx is not None else ())
+              + (state.k, state.v))
+        x, (k_all, v_all) = jax.lax.scan(body, x, xs)
 
     x_last = jax.vmap(
         lambda xr, n: jax.lax.dynamic_index_in_dim(xr, n - 1, axis=0,
@@ -326,6 +393,7 @@ class ContinuousBatcher:
         self.max_seq = max_seq
         self.chunk = max(1, chunk)
         self.queue: List[Request] = []
+        self._retired: List[int] = []
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.cur_tok = np.zeros(slots, np.int32)
         self._next_id = 0
@@ -381,8 +449,17 @@ class ContinuousBatcher:
         req.done = True
         self.finished[req.req_id] = req
         self.slot_req[b] = None
-        # free the slot (cache left dirty; pos reset)
-        self.state = self.state.replace(pos=self.state.pos.at[b].set(0))
+        self._retired.append(b)
+
+    def _flush_retired(self):
+        """One pos-reset for every slot retired this round (per-slot
+        ``pos.at[b].set`` dispatches cost ~29 ms each on tunnel
+        transports; batch them). Cache is left dirty — prefill rewrites."""
+        if self._retired:
+            idx = jnp.asarray(np.asarray(self._retired, np.int32))
+            self.state = self.state.replace(
+                pos=self.state.pos.at[idx].set(0))
+            self._retired = []
 
     def step(self) -> bool:
         """Admit + one decode step. Returns True if any work remains."""
@@ -394,6 +471,7 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
             jnp.asarray(active))
         toks = np.argmax(np.asarray(logits), axis=-1)
+        pos_host = np.asarray(self.state.pos)  # one sync, not one per slot
         for b in range(self.slots):
             req = self.slot_req[b]
             if req is None:
@@ -401,11 +479,11 @@ class ContinuousBatcher:
             tok = int(toks[b])
             req.out.append(tok)
             self.cur_tok[b] = tok
-            slot_len = int(np.asarray(self.state.pos)[b])
             if (len(req.out) >= req.max_new_tokens
                     or (self.eos_id is not None and tok == self.eos_id)
-                    or slot_len >= self.max_seq - 1):
+                    or int(pos_host[b]) >= self.max_seq - 1):
                 self._retire(b)
+        self._flush_retired()
         return any(r is not None for r in self.slot_req) or bool(self.queue)
 
     def step_chunk(self) -> bool:
@@ -419,9 +497,10 @@ class ContinuousBatcher:
         toks, valid, self.state, _ = decode_chunk_slots(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
             jnp.asarray(active), self.chunk, self.eos_id)
-        toks = np.asarray(toks)
-        valid = np.asarray(valid)
-        pos_host = np.asarray(self.state.pos)
+        # one host fetch for all three (separate np.asarray calls are one
+        # tunnel round trip each)
+        toks, valid, pos_host = jax.device_get(
+            (toks, valid, self.state.pos))
         for b in range(self.slots):
             req = self.slot_req[b]
             if req is None:
@@ -439,6 +518,7 @@ class ContinuousBatcher:
             if (hit_eos or len(req.out) >= req.max_new_tokens
                     or int(pos_host[b]) >= self.max_seq - 1):
                 self._retire(b)
+        self._flush_retired()
         return any(r is not None for r in self.slot_req) or bool(self.queue)
 
     def run(self, max_steps: int = 10000) -> Dict[int, Request]:

@@ -476,11 +476,18 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              temperature: float = 0.0, top_k: Optional[int] = None,
              kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
              seed: int = 0, kv_sharding=None, window: int = 0,
+             prefill_chunk: Optional[int] = None,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Generate loop with gpt-fast-style metrics (tok/s; reference
     generate.py:145-186, 374-381). Decode runs device-side in
     DECODE_CHUNK-token scans so the per-call dispatch cost is amortized
-    (one host round-trip per chunk, not per token)."""
+    (one host round-trip per chunk, not per token).
+
+    ``prefill_chunk``: process the prompt in blocks of this many tokens
+    (None = auto: 512 for prompts past 2048 tokens). Prefill attention
+    materializes O(S_block * S_max) scores, so unchunked 32k prompts are a
+    memory wall; chunking bounds it (at most two compiled block shapes).
+    """
     prompt = np.atleast_2d(prompt)
     B, S = prompt.shape
     L = cfg.num_layers
@@ -488,9 +495,21 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     state = init_state(cfg, L, B, max_seq, dtype=kv_dtype, kv_bits=kv_bits,
                        r3=r3, sharding=kv_sharding, window=window)
     key = jax.random.PRNGKey(seed)
+    if prefill_chunk is None and S > 2048:
+        prefill_chunk = 512
 
     t0 = time.perf_counter()
-    logits, state = prefill(params, cfg, jnp.asarray(prompt), state)
+    if prefill_chunk and S > prefill_chunk:
+        off = 0
+        while S - off > prefill_chunk:
+            _, state = prefill(
+                params, cfg,
+                jnp.asarray(prompt[:, off:off + prefill_chunk]), state)
+            off += prefill_chunk
+        logits, state = prefill(params, cfg, jnp.asarray(prompt[:, off:]),
+                                state)
+    else:
+        logits, state = prefill(params, cfg, jnp.asarray(prompt), state)
     key, k0 = jax.random.split(key)
     tok = sample_token(logits, k0, temperature, top_k)
     tok.block_until_ready()

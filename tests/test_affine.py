@@ -10,6 +10,8 @@ SURVEY.md §4)."""
 import numpy as np
 import pytest
 
+from guidedquant_tpu.ops import lut_kernels
+
 import jax.numpy as jnp
 
 from guidedquant_tpu.ops.lut_kernels import (
@@ -241,3 +243,22 @@ def test_lnq_affine_end_to_end(rng):
             <= max(log_f["objective"][-1], 1e-12) * 3.0 + 1e-9)
     # the alternation improved on the projected init
     assert log_a["objective"][-1] <= log_a["objective"][0] + 1e-9
+
+
+def test_unpack_lane_tiled_traceable_matches_np():
+    """jnp lane-tiled unpack (device prefill path) == numpy oracle, all
+    widths incl. composite fields."""
+    rng = np.random.RandomState(3)
+    for bits in (1, 2, 3, 4, 5, 6, 7, 8):
+        TK = lut_kernels.tile_k_for(bits)
+        N, K = 16, TK + 128  # force padding
+        codes = rng.randint(0, 2 ** bits, size=(N, K)).astype(np.uint8)
+        padded, K_pad = lut_kernels.pad_to_tiles(codes, bits)
+        words = lut_kernels.pack_lane_tiled(padded, bits)
+        ref = lut_kernels.unpack_lane_tiled_np(
+            words if not isinstance(words, tuple)
+            else tuple(np.asarray(w) for w in words), bits, K)
+        words_j = (tuple(jnp.asarray(w) for w in words)
+                   if isinstance(words, tuple) else jnp.asarray(words))
+        got = np.asarray(lut_kernels.unpack_lane_tiled(words_j, bits, K))
+        np.testing.assert_array_equal(got, ref.astype(np.int32)), bits

@@ -175,3 +175,29 @@ def test_chunked_batcher_unrolled_layers(model):
     done = b.run()
     for rid, ref_id in zip(ids, rids):
         assert done[rid].out == ref_done[ref_id].out
+
+
+def test_batcher_gemma_pattern_matches_generate():
+    """Sliding/global per-layer rope + masks and sandwich norms through the
+    batcher (the engine handles Gemma3; the batcher must match it)."""
+    cfg = get_config("tiny").replace(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_heads=4, num_kv_heads=2, sliding_window=4,
+        rope_local_theta=10000.0,
+        layer_types=("sliding", "sliding", "global", "sliding"))
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    prompts = [np.array([3, 1, 4, 1, 5, 9], np.int32),
+               np.array([2, 7], np.int32)]
+    lens = [7, 5]
+    refs = []
+    for p, n in zip(prompts, lens):
+        out, _ = engine.generate(params, cfg, p[None], n,
+                                 kv_dtype=jnp.float32)
+        refs.append(out[0, len(p):].tolist())
+    for chunk in (1, 4):  # per-token and chunked device stepping
+        b = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                              kv_dtype=jnp.float32, chunk=chunk)
+        ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+        done = b.run()
+        for rid, ref in zip(ids, refs):
+            assert done[rid].out == ref, (chunk, rid, done[rid].out, ref)

@@ -89,3 +89,17 @@ def test_ring_generate_entrypoint():
     out_r, _ = engine.generate(params, cfg, prompt, 9, max_seq=32,
                                window=cfg.sliding_window)
     np.testing.assert_array_equal(out_d, out_r)
+
+
+def test_chunked_prefill_matches_unchunked():
+    """generate(prefill_chunk=...) == one-shot prefill, incl. on the ring
+    path (a block prefill crossing the window boundary mid-chunk)."""
+    cfg = _gemma_cfg()
+    params = engine.unroll_layers(llama.init_params(cfg, jax.random.PRNGKey(2)))
+    prompt = np.array([[5, 9, 2, 7, 1, 3, 3, 8, 6, 6, 1]], np.int32)  # S=11
+    for window in (0, cfg.sliding_window):
+        out_a, _ = engine.generate(params, cfg, prompt, 8, max_seq=40,
+                                   window=window)
+        out_b, _ = engine.generate(params, cfg, prompt, 8, max_seq=40,
+                                   window=window, prefill_chunk=4)
+        np.testing.assert_array_equal(out_a, out_b)

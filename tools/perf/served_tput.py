@@ -26,13 +26,22 @@ SLOTS = [int(s) for s in (sys.argv[1] if len(sys.argv) > 1
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 NEW_TOK = int(os.environ.get("NEW_TOK", "96"))
 
-cfg = get_config("llama-3.2-1b").replace(max_seq_len=1024)
-params = fuse_projections(_build_quantized_llama(cfg, 0, bits=2,
-                                                 family="affine"))
-params = dict(params)
-params["lm_head"] = quantize_int8(params["embed"])
-cfg = cfg.replace(tie_word_embeddings=False)
-params = engine.unroll_layers(params)
+GEOM = os.environ.get("SERVED_GEOM", "1b")
+if GEOM == "8b":
+    # north-star model, built device-side (see bench._build_quantized_device)
+    import importlib
+    bench = importlib.import_module("bench")
+    cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024)
+    params, cfg = bench._build_quantized_device(cfg, bits=2)
+    params = engine.unroll_layers(params)
+else:
+    cfg = get_config("llama-3.2-1b").replace(max_seq_len=1024)
+    params = fuse_projections(_build_quantized_llama(cfg, 0, bits=2,
+                                                     family="affine"))
+    params = dict(params)
+    params["lm_head"] = quantize_int8(params["embed"])
+    cfg = cfg.replace(tie_word_embeddings=False)
+    params = engine.unroll_layers(params)
 
 rng = np.random.default_rng(0)
 for slots in SLOTS:
@@ -47,13 +56,17 @@ for slots in SLOTS:
         b.submit(p, 8)
     b.run()
 
-    b = ContinuousBatcher(params, cfg, slots=slots, max_seq=256,
-                          chunk=CHUNK)
-    for p in prompts:
-        b.submit(p, NEW_TOK)
-    t0 = time.perf_counter()
-    done = b.run()
-    dt = time.perf_counter() - t0
-    tot = sum(len(r.out) for r in done.values())
-    print(f"slots={slots} chunk={CHUNK}: {tot} tokens in {dt:.2f}s "
+    # best of 3 (tunnel jitter; min-time methodology as elsewhere)
+    dt, tot = 1e9, 0
+    for _ in range(3):
+        b = ContinuousBatcher(params, cfg, slots=slots, max_seq=256,
+                              chunk=CHUNK)
+        for p in prompts:
+            b.submit(p, NEW_TOK)
+        t0 = time.perf_counter()
+        done = b.run()
+        d = time.perf_counter() - t0
+        tot = sum(len(r.out) for r in done.values())
+        dt = min(dt, d)
+    print(f"slots={slots} chunk={CHUNK}: {tot} tokens, best {dt:.2f}s "
           f"-> {tot/dt:.0f} served tok/s/chip", flush=True)
