@@ -33,17 +33,35 @@ from .engine import _attend
 
 @struct.dataclass
 class SlotState:
+    """Ring-window mode (``wk is not None``): sliding-attention layers
+    (cfg.layer_types) keep only the last W positions per slot in
+    ``wk/wv [L_sliding, B, W, KV, Dh]`` (slot p -> ring index p % W);
+    ``k/v`` then hold only the global layers. Same design as
+    engine.DecodeState, with per-slot positions."""
+
     k: jnp.ndarray    # [L, B, S_max, KV, Dh]
     v: jnp.ndarray
     pos: jnp.ndarray  # [B] int32 — tokens currently in each slot's cache
+    wk: Optional[jnp.ndarray] = None
+    wv: Optional[jnp.ndarray] = None
 
 
 def init_slots(cfg: ModelConfig, num_layers: int, slots: int, max_seq: int,
-               dtype=jnp.bfloat16) -> SlotState:
-    shape = (num_layers, slots, max_seq, cfg.num_kv_heads, cfg.head_dim)
-    z = jnp.zeros(shape, dtype)
-    return SlotState(k=z, v=jnp.copy(z),
-                     pos=jnp.zeros((slots,), jnp.int32))
+               dtype=jnp.bfloat16, window: int = 0) -> SlotState:
+    def _alloc(L, T):
+        return jnp.zeros((L, slots, T, cfg.num_kv_heads, cfg.head_dim),
+                         dtype)
+
+    pos = jnp.zeros((slots,), jnp.int32)
+    if window > 0:
+        assert cfg.layer_types and len(cfg.layer_types) == num_layers
+        Lg = sum(t == "global" for t in cfg.layer_types)
+        z = _alloc(Lg, max_seq)
+        wz = _alloc(num_layers - Lg, min(window, max_seq))
+        return SlotState(k=z, v=jnp.copy(z), pos=pos,
+                         wk=wz, wv=jnp.copy(wz))
+    z = _alloc(num_layers, max_seq)
+    return SlotState(k=z, v=jnp.copy(z), pos=pos)
 
 
 def _write_slots(cache, new, pos):
@@ -53,7 +71,22 @@ def _write_slots(cache, new, pos):
     return jax.vmap(write_one)(cache, new, pos)
 
 
-def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
+def _ring_mask(pos, positions, Wb: int, window: int):
+    """Additive mask [B, 1, 1, S, Wb+S] over concat(ring slots, fresh
+    block). ``pos`` [B] tokens already cached per slot; ``positions``
+    [B, S] global query positions. Ring slot j holds global position
+    (pos-1) - ((pos-1-j) mod Wb), negative = never written."""
+    pm1 = (pos - 1)[:, None]                      # [B, 1]
+    j = jnp.arange(Wb)[None, :]
+    g_ring = pm1 - jnp.mod(pm1 - j, Wb)           # [B, Wb]
+    g = jnp.concatenate([g_ring, positions], axis=1)[:, None, :]  # [B,1,T]
+    p = positions[:, :, None]                     # [B, S, 1]
+    m = jnp.where((g >= 0) & (g <= p) & (g > p - window), 0.0, -1e30)
+    return m[:, None, None]                       # [B, 1, 1, S, Wb+S]
+
+
+def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
+                ring_window: int = 0, ring_prefill: bool = False):
     from ..nn.linear import apply_linear
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -72,10 +105,33 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask):
         k = llama._norm(cfg, k, lp["k_norm"])
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
-    k_cache, v_cache = kv_l
-    k_cache = _write_slots(k_cache, k, pos)
-    v_cache = _write_slots(v_cache, v, pos)
-    ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
+    if ring_window:
+        # W-slot ring (read-before-write + concat, as in engine ring mode;
+        # t_mask must be the _ring_mask over concat(ring, fresh block))
+        k_ring, v_ring = kv_l  # [B, Wb, KV, Dh]
+        Wb = k_ring.shape[1]
+        m = min(S, Wb)
+        k_all = jnp.concatenate([k_ring, k.astype(k_ring.dtype)], axis=1)
+        v_all = jnp.concatenate([v_ring, v.astype(v_ring.dtype)], axis=1)
+        ctx = _attend(cfg, q, k_all, v_all, t_mask)
+
+        if ring_prefill:
+            # bucketed prefill: the caller rebuilds the ring by gathering
+            # the last-W TRUE positions from the fresh block (a scatter of
+            # right-padded blocks would pollute ring slots with pad K/V)
+            k_cache, v_cache = k, v
+        else:
+            def write_one(c, n, p):
+                slots = jnp.mod(p + (S - m) + jnp.arange(m), Wb)
+                return c.at[slots].set(n[S - m:].astype(c.dtype))
+
+            k_cache = jax.vmap(write_one)(k_ring, k, pos)
+            v_cache = jax.vmap(write_one)(v_ring, v, pos)
+    else:
+        k_cache, v_cache = kv_l
+        k_cache = _write_slots(k_cache, k, pos)
+        v_cache = _write_slots(v_cache, v, pos)
+        ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
     attn_out = apply_linear(lp["o_proj"], ctx)
     if cfg.sandwich_norms:
         attn_out = llama._norm(cfg, attn_out, lp["post_attn_norm"])
@@ -126,23 +182,41 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
     # _attend expects mask broadcastable over [B, KV, G, S, T]
     mask = t_mask[:, None, None, :, :]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
+    ring = state.wk is not None
+    wk_new, wv_new = state.wk, state.wv
+    if ring:
+        rmask = _ring_mask(state.pos, positions, state.wk.shape[2],
+                           cfg.sliding_window)
 
     if isinstance(params["layers"], (tuple, list)):
         # unrolled per-layer buffers (engine.unroll_layers): Pallas kernels
         # bind packed operands directly instead of consuming per-step
         # HBM->HBM copies of scan slices.
         k_new, v_new = state.k, state.v
+        gi = wi = 0
         for li, lp in enumerate(params["layers"]):
-            if pl_ctx is not None and cfg.layer_types[li] != "global":
+            sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
+            if ring and sliding:
+                x, (k_l, v_l) = _slot_layer(
+                    lp, cfg, x, pl_ctx[0], pl_ctx[1],
+                    (wk_new[wi], wv_new[wi]), state.pos, rmask,
+                    ring_window=cfg.sliding_window)
+                wk_new = wk_new.at[wi].set(k_l)
+                wv_new = wv_new.at[wi].set(v_l)
+                wi += 1
+                continue
+            if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
             x, (k_l, v_l) = _slot_layer(lp, cfg, x, c_, s_,
-                                        (k_new[li], v_new[li]),
+                                        (k_new[gi], v_new[gi]),
                                         state.pos, mk)
-            k_new = k_new.at[li].set(k_l)
-            v_new = v_new.at[li].set(v_l)
+            k_new = k_new.at[gi].set(k_l)
+            v_new = v_new.at[gi].set(v_l)
+            gi += 1
     else:
+        assert not ring, "ring-window serving requires unrolled params"
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
@@ -163,7 +237,8 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
         x, (k_new, v_new) = jax.lax.scan(body, x, xs)
     logits = llama.unembed(params, cfg, x)[:, 0]
     new_pos = jnp.where(active, state.pos + 1, state.pos)
-    return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
+    return logits, SlotState(k=k_new, v=v_new, pos=new_pos,
+                             wk=wk_new, wv=wv_new)
 
 
 decode_step_slots = partial(jax.jit, static_argnames=("cfg",),
@@ -228,6 +303,17 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
     x = llama.embed_tokens(params, prompt, cfg).astype(state.k.dtype)
     mask = llama.causal_mask(S, S_max)[None, None, None]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
+    ring = state.wk is not None
+    wk_new, wv_new = state.wk, state.wv
+    if ring:
+        Wb = state.wk.shape[2]
+        rmask = _ring_mask(jnp.zeros((1,), jnp.int32), positions, Wb,
+                           cfg.sliding_window)
+        # ring slot j must end holding the latest TRUE position == j mod W
+        pm1 = true_len - 1
+        g = pm1 - jnp.mod(pm1 - jnp.arange(Wb), Wb)
+        g_src = jnp.clip(g, 0, S - 1)  # g<0 slots: junk, masked until
+        #                                overwritten (decode ring mask)
 
     def layer_into_slot(lp, x, k_l, v_l, c_, s_, mk):
         # compute with an isolated cache for this slot
@@ -241,18 +327,44 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         v_l = jax.lax.dynamic_update_slice(v_l, v_slot, (slot, 0, 0, 0))
         return x, k_l, v_l
 
+    def ring_into_slot(lp, x, wk_l, wv_l, c_, s_):
+        ring0 = jnp.zeros((1, Wb, cfg.num_kv_heads, cfg.head_dim),
+                          state.wk.dtype)
+        x, (kf, vf) = _slot_layer(
+            lp, cfg, x, c_, s_, (ring0, jnp.copy(ring0)),
+            jnp.zeros((1,), jnp.int32), rmask,
+            ring_window=cfg.sliding_window, ring_prefill=True)
+        ring_k = kf[:, g_src].astype(wk_l.dtype)
+        ring_v = vf[:, g_src].astype(wv_l.dtype)
+        wk_l = jax.lax.dynamic_update_slice(wk_l, ring_k, (slot, 0, 0, 0))
+        wv_l = jax.lax.dynamic_update_slice(wv_l, ring_v, (slot, 0, 0, 0))
+        return x, wk_l, wv_l
+
     if isinstance(params["layers"], (tuple, list)):
         k_new, v_new = state.k, state.v
+        gi = wi = 0
         for li, lp in enumerate(params["layers"]):
-            if pl_ctx is not None and cfg.layer_types[li] != "global":
+            sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
+            if ring and sliding:
+                x, wk_l, wv_l = ring_into_slot(lp, x, wk_new[wi],
+                                               wv_new[wi], pl_ctx[0],
+                                               pl_ctx[1])
+                wk_new = wk_new.at[wi].set(wk_l)
+                wv_new = wv_new.at[wi].set(wv_l)
+                wi += 1
+                continue
+            if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slot(lp, x, k_new[li], v_new[li],
+            x, k_l, v_l = layer_into_slot(lp, x, k_new[gi], v_new[gi],
                                           c_, s_, mk)
-            k_new = k_new.at[li].set(k_l)
-            v_new = v_new.at[li].set(v_l)
+            k_new = k_new.at[gi].set(k_l)
+            v_new = v_new.at[gi].set(v_l)
+            gi += 1
     else:
+        assert not ring, "ring-window serving requires unrolled params"
+
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
@@ -273,7 +385,8 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
     x_last = jax.lax.dynamic_index_in_dim(x, true_len - 1, axis=1)
     logits = llama.unembed(params, cfg, x_last)[0, 0]
     new_pos = state.pos.at[slot].set(true_len)
-    return logits, SlotState(k=k_new, v=v_new, pos=new_pos)
+    return logits, SlotState(k=k_new, v=v_new, pos=new_pos,
+                             wk=wk_new, wv=wv_new)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -299,6 +412,16 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     mask = llama.causal_mask(S, S_max)[None, None, None]
     vmask = valid[:, None, None, None]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
+    ring = state.wk is not None
+    wk_all, wv_all = state.wk, state.wv
+    if ring:
+        Wb = state.wk.shape[2]
+        rmask = _ring_mask(jnp.zeros((B,), jnp.int32),
+                           jnp.broadcast_to(positions, (B, S)), Wb,
+                           cfg.sliding_window)
+        pm1 = (true_lens - 1)[:, None]  # [B, 1]
+        g = pm1 - jnp.mod(pm1 - jnp.arange(Wb)[None, :], Wb)
+        g_src = jnp.clip(g, 0, S - 1)   # [B, Wb]
 
     def layer_into_slots(lp, x, k_l, v_l, c_, s_, mk):
         k_new = jnp.zeros((B, S_max, cfg.num_kv_heads, cfg.head_dim),
@@ -313,18 +436,46 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
         v_l = v_l.at[slot_ids].set(jnp.where(vmask, v_new, v_l[slot_ids]))
         return x, k_l, v_l
 
+    def ring_into_slots(lp, x, wk_l, wv_l, c_, s_):
+        ring0 = jnp.zeros((B, Wb, cfg.num_kv_heads, cfg.head_dim),
+                          state.wk.dtype)
+        x, (kf, vf) = _slot_layer(
+            lp, cfg, x, c_, s_, (ring0, jnp.copy(ring0)),
+            jnp.zeros((B,), jnp.int32), rmask,
+            ring_window=cfg.sliding_window, ring_prefill=True)
+        gi = g_src[:, :, None, None]
+        ring_k = jnp.take_along_axis(kf, gi, axis=1).astype(wk_l.dtype)
+        ring_v = jnp.take_along_axis(vf, gi, axis=1).astype(wv_l.dtype)
+        wk_l = wk_l.at[slot_ids].set(
+            jnp.where(vmask, ring_k, wk_l[slot_ids]))
+        wv_l = wv_l.at[slot_ids].set(
+            jnp.where(vmask, ring_v, wv_l[slot_ids]))
+        return x, wk_l, wv_l
+
     if isinstance(params["layers"], (tuple, list)):
         k_all, v_all = state.k, state.v
+        gi2 = wi = 0
         for li, lp in enumerate(params["layers"]):
-            if pl_ctx is not None and cfg.layer_types[li] != "global":
+            sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
+            if ring and sliding:
+                x, wk_l, wv_l = ring_into_slots(lp, x, wk_all[wi],
+                                                wv_all[wi], pl_ctx[0],
+                                                pl_ctx[1])
+                wk_all = wk_all.at[wi].set(wk_l)
+                wv_all = wv_all.at[wi].set(wv_l)
+                wi += 1
+                continue
+            if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slots(lp, x, k_all[li], v_all[li],
+            x, k_l, v_l = layer_into_slots(lp, x, k_all[gi2], v_all[gi2],
                                            c_, s_, mk)
-            k_all = k_all.at[li].set(k_l)
-            v_all = v_all.at[li].set(v_l)
+            k_all = k_all.at[gi2].set(k_l)
+            v_all = v_all.at[gi2].set(v_l)
+            gi2 += 1
     else:
+        assert not ring, "ring-window serving requires unrolled params"
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
@@ -350,7 +501,8 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     logits = llama.unembed(params, cfg, x_last[:, None])[:, 0]
     new_pos = state.pos.at[slot_ids].set(
         jnp.where(valid, true_lens, state.pos[slot_ids]))
-    return logits, SlotState(k=k_all, v=v_all, pos=new_pos)
+    return logits, SlotState(k=k_all, v=v_all, pos=new_pos,
+                             wk=wk_all, wv=wv_all)
 
 
 @dataclass
@@ -367,7 +519,17 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: ModelConfig, slots: int = 4,
                  max_seq: int = 512, eos_id: Optional[int] = None,
-                 kv_dtype=jnp.bfloat16, mesh=None, chunk: int = 1):
+                 kv_dtype=jnp.bfloat16, mesh=None, chunk: int = 1,
+                 window: Optional[int] = None):
+        # window: sliding-layer ring-buffer length (None = auto:
+        # cfg.sliding_window for layer_types models on unrolled params;
+        # 0 disables). Sliding layers then cache only W positions/slot.
+        if window is None:
+            window = (cfg.sliding_window
+                      if cfg.layer_types and cfg.sliding_window
+                      and isinstance(params["layers"], (tuple, list))
+                      else 0)
+        self.window = window
         if mesh is not None:
             # tp-shard the packed weights over the mesh; the slot cache
             # shards kv-heads on 'tp' (multi-chip continuous batching —
@@ -381,7 +543,7 @@ class ContinuousBatcher:
         self.slots = slots
         self.eos_id = eos_id
         self.state = init_slots(cfg, cfg.num_layers, slots, max_seq,
-                                dtype=kv_dtype)
+                                dtype=kv_dtype, window=window)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from ..parallel import sharding as shd
@@ -389,7 +551,11 @@ class ContinuousBatcher:
             self.state = SlotState(
                 k=jax.device_put(self.state.k, sh),
                 v=jax.device_put(self.state.v, sh),
-                pos=self.state.pos)
+                pos=self.state.pos,
+                wk=None if self.state.wk is None
+                else jax.device_put(self.state.wk, sh),
+                wv=None if self.state.wv is None
+                else jax.device_put(self.state.wv, sh))
         self.max_seq = max_seq
         self.chunk = max(1, chunk)
         self.queue: List[Request] = []

@@ -197,7 +197,23 @@ def test_batcher_gemma_pattern_matches_generate():
     for chunk in (1, 4):  # per-token and chunked device stepping
         b = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
                               kv_dtype=jnp.float32, chunk=chunk)
+        assert b.state.wk is None  # stacked params -> dense sliding masks
         ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
         done = b.run()
         for rid, ref in zip(ids, refs):
             assert done[rid].out == ref, (chunk, rid, done[rid].out, ref)
+
+    # ring-window mode (auto on unrolled params): sliding layers cache
+    # only W positions per slot; tokens must still match exactly
+    unrolled = engine.unroll_layers(params)
+    for chunk in (1, 4):
+        b = ContinuousBatcher(unrolled, cfg, slots=2, max_seq=64,
+                              kv_dtype=jnp.float32, chunk=chunk)
+        assert b.state.wk is not None
+        assert b.state.wk.shape == (3, 2, cfg.sliding_window, 2,
+                                    cfg.head_dim)
+        ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+        done = b.run()
+        for rid, ref in zip(ids, refs):
+            assert done[rid].out == ref, ("ring", chunk, rid,
+                                          done[rid].out, ref)
