@@ -131,7 +131,13 @@ def spinquant_ptq(
     # 4) GPTQ (or RTN) per layer
     wq = WeightQuantConfig(bits=w_bits, perchannel=True, sym=not w_asym,
                            mse=w_clip)
+    # native integer path: per-channel symmetric weights only (grouped
+    # scales would need per-group int accumulation)
+    native_ok = (not use_rtn and not w_asym and w_groupsize <= 0
+                 and 2 <= w_bits <= 8)
     new_layers: Dict[str, list] = {m: [] for m in qcfg.module_names}
+    new_ints: Dict[str, list] = {m: [] for m in qcfg.module_names}
+    new_scales: Dict[str, list] = {m: [] for m in qcfg.module_names}
     for l in range(qcfg.num_layers):
         weights = _layer_weights_np(params, qcfg, l)
         hess = None
@@ -146,20 +152,32 @@ def spinquant_ptq(
                 H = hess[m]
                 if rotate and m == "down_proj":
                     H = _transform_down_hessian(H, qcfg.intermediate_size)
-                Q, _, _ = gptq_mod.gptq_quantize(
+                Q, Wint, Scale = gptq_mod.gptq_quantize(
                     W, H, wq, percdamp=percdamp,
                     groupsize=w_groupsize, actorder=actorder)
+                if native_ok:
+                    new_ints[m].append(Wint.astype(np.int8))
+                    new_scales[m].append(Scale[:, 0].astype(np.float32))
             new_layers[m].append(Q)
         logger.info("spinquant: layer %d quantized", l)
 
-    # 5) assemble W4A4 model with activation wrappers
+    # 5) assemble W4A4 model with activation wrappers. With exact GPTQ
+    # integer codes available, the runtime gets the MXU int8 execution
+    # path (see nn.act_quant) — identical math to the fake-quant model.
     layers = dict(params["layers"])
     for m in qcfg.module_names:
         Wq = jnp.asarray(np.stack(new_layers[m]), jnp.float32)
+        native = {}
+        if native_ok:
+            wi = np.stack(new_ints[m])
+            native = dict(
+                wq=jnp.asarray(wi),
+                wscale=jnp.asarray(np.stack(new_scales[m])),
+                wq_rowsum=jnp.asarray(wi.astype(np.float32).sum(-1)))
         layers[m] = ActQuantLinear(
             weight=Wq, bias=None,
             in_bits=a_bits, in_sym=not a_asym, in_clip=a_clip_ratio,
-            online_had=(rotate and m == "down_proj"))
+            online_had=(rotate and m == "down_proj"), **native)
     out_params = dict(params)
     out_params["layers"] = layers
     return qcfg, out_params

@@ -178,3 +178,42 @@ def test_gptq_actorder_and_groupsize(rng):
                             actorder=True)
     assert np.isfinite(Q).all()
     assert gptq_error(W, Q, H) < 0.1
+
+
+def test_native_int_matmul_matches_fake_quant():
+    """The MXU int8 execution path (W4A4 as real integer math) must agree
+    with the fake-quant dense path — same math, no dequantized tensors."""
+    import jax.numpy as jnp
+    from guidedquant_tpu.nn.act_quant import (ActQuantLinear,
+                                              apply_act_quant_linear)
+    rng = np.random.RandomState(0)
+    N, K, T = 32, 64, 5
+    q0 = rng.randint(-8, 8, size=(N, K)).astype(np.int8)
+    ws0 = (rng.rand(N).astype(np.float32) * 0.5 + 0.5) * 0.02
+    W = jnp.asarray(ws0[:, None] * q0.astype(np.float32))
+    x = jnp.asarray(rng.randn(T, K).astype(np.float32))
+    for in_sym in (True, False):
+        fake = ActQuantLinear(weight=W, in_bits=4, in_sym=in_sym)
+        nat = fake.replace(wq=jnp.asarray(q0),
+                           wscale=jnp.asarray(ws0),
+                           wq_rowsum=jnp.asarray(
+                               q0.astype(np.float32).sum(-1)))
+        y_f = np.asarray(apply_act_quant_linear(fake, x), np.float32)
+        y_n = np.asarray(apply_act_quant_linear(nat, x), np.float32)
+        scale = max(np.abs(y_f).max(), 1e-6)
+        np.testing.assert_allclose(y_n / scale, y_f / scale, atol=2e-3), in_sym
+
+
+def test_pipeline_emits_native_codes():
+    """gptq sym per-channel codes satisfy Q == Scale * W_int, the identity
+    the pipeline's native path relies on."""
+    from guidedquant_tpu.solvers.spinquant import gptq as gptq_mod
+    from guidedquant_tpu.solvers.spinquant.quant import WeightQuantConfig
+    rng = np.random.RandomState(1)
+    W = rng.randn(16, 32).astype(np.float32) * 0.05
+    X = rng.randn(64, 32).astype(np.float32)
+    H = (X.T @ X).astype(np.float32)
+    cfg = WeightQuantConfig(bits=4, perchannel=True, sym=True)
+    Q, Wint, Scale = gptq_mod.gptq_quantize(W, H, cfg)
+    np.testing.assert_allclose(Q, Scale * Wint, rtol=1e-6, atol=1e-8)
+    assert np.abs(Wint).max() <= 8
