@@ -123,7 +123,10 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
         batch = jnp.asarray(tokens[start:start + batch_size])
         x, cos, sin, mask = embed_step(params, cfg, batch)
         acts.append(np.asarray(x))
-        meta.append((np.asarray(cos), np.asarray(sin), np.asarray(mask)))
+        # cos/sin are None for learned-position models (OPT) — no RoPE
+        meta.append((None if cos is None else np.asarray(cos),
+                     None if sin is None else np.asarray(sin),
+                     np.asarray(mask)))
 
     results: List[Dict[str, np.ndarray]] = []
     for l in range(L):
@@ -142,7 +145,8 @@ def accumulate_hessians(params, cfg: ModelConfig, tokens: np.ndarray,
             cos_b, sin_b, mask_b = meta[bi]
             if per_layer_rope:
                 cos_b, sin_b, mask_b = cos_b[l], sin_b[l], mask_b[l]
-            cos, sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
+            cos = None if cos_b is None else jnp.asarray(cos_b)
+            sin = None if sin_b is None else jnp.asarray(sin_b)
             mask_j = jnp.asarray(mask_b)
             if want:
                 sal_b = {m: jnp.asarray(v[start:stop])

@@ -46,7 +46,15 @@ class _JaxLM:
 
     def loglikelihood_tokens(self, context: List[int], continuation: List[int]
                              ) -> Tuple[float, bool]:
-        toks = np.asarray(context + continuation)[-self.max_length:]
+        # lm-eval convention: always condition on >= 1 context token (a
+        # 0/eot prefix for empty contexts); left-truncate continuations
+        # that overflow the window and score only the surviving part —
+        # a negative position would silently wrap to the wrong row.
+        context = list(context) or [0]
+        toks = np.asarray(list(context) + list(continuation)
+                          )[-self.max_length:]
+        if len(toks) - len(continuation) < 1:
+            continuation = list(continuation)[-(len(toks) - 1):]
         lp = self._logprobs(toks)
         start = len(toks) - len(continuation)
         lls, greedy = 0.0, True
@@ -80,7 +88,7 @@ class _JaxLM:
                         eos_token_id: Optional[int] = None) -> List[int]:
         """Greedy decode; stops at eos or when the generated suffix ends with
         any tokenized stop sequence. Returns only the generated tokens."""
-        toks = list(context)[-(self.max_length - max_new_tokens):]
+        toks = list(context)[-max(1, self.max_length - max_new_tokens):]
         out: List[int] = []
         for _ in range(max_new_tokens):
             lp = self._logprobs(np.asarray(toks[-self.max_length:]))

@@ -89,15 +89,21 @@ def _native_matmul(w: ActQuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     _, maxq = minq_maxq(cfg.bits, cfg.sym)
     if cfg.sym:
         qx = jnp.clip(jnp.round(x / scale), -maxq - 1, maxq)
+        zero_eff = None
     else:
-        qx = jnp.clip(jnp.round(x / scale) + zero, 0, maxq)
+        # asym codes live in [0, 2^b - 1]; center by 2^(b-1) so the int8
+        # cast cannot wrap at b == 8, and fold the offset into the zero
+        # point:  x_hat = s*(q - z) = s*((q - c) - (z - c))
+        c = 2 ** (cfg.bits - 1)
+        qx = jnp.clip(jnp.round(x / scale) + zero, 0, maxq) - c
+        zero_eff = zero - c
     qx = qx.astype(jnp.int8)
     acc = lax.dot_general(qx, w.wq, (((qx.ndim - 1,), (1,)), ((), ())),
                           preferred_element_type=jnp.int32
                           ).astype(jnp.float32)
-    if not cfg.sym:
-        # x_hat = s*(q - z): subtract z * sum_k qw[n, k] per row
-        acc = acc - zero * w.wq_rowsum
+    if zero_eff is not None:
+        # x_hat = s*(q' - z'): subtract z' * sum_k qw[n, k] per row
+        acc = acc - zero_eff * w.wq_rowsum
     y = acc * scale.astype(jnp.float32) * w.wscale
     return y.astype(x.dtype)
 

@@ -131,18 +131,17 @@ def unpack_trellis_states_jnp(packed: jnp.ndarray, T: int, L: int, K: int,
     return states.astype(jnp.int32)  # [B, Tv]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
 def _quantlut_tables(L: int, tlut_bits: int):
     """Static (idx, sign) tables of the quantlut_sym hash (codebook
-    _hash_lut_index); cached per (L, tlut_bits)."""
-    from functools import lru_cache
-
-    @lru_cache(maxsize=8)
-    def _tab(L_, tb_):
-        from ..solvers.qtip.codebook import _hash_lut_index
-        idx, sflip = _hash_lut_index(L_, tb_, sym=True)
-        return (np.asarray(idx, np.int32), np.asarray(sflip, np.float32))
-
-    return _tab(L, tlut_bits)
+    _hash_lut_index); cached per (L, tlut_bits) at module scope (an
+    inner lru_cache would be recreated — and thus miss — on every call)."""
+    from ..solvers.qtip.codebook import _hash_lut_index
+    idx, sflip = _hash_lut_index(L, tlut_bits, sym=True)
+    return (np.asarray(idx, np.int32), np.asarray(sflip, np.float32))
 
 
 def decode_tlut_dense_jnp(w: TrellisLinear) -> jnp.ndarray:

@@ -524,6 +524,8 @@ class ContinuousBatcher:
         # window: sliding-layer ring-buffer length (None = auto:
         # cfg.sliding_window for layer_types models on unrolled params;
         # 0 disables). Sliding layers then cache only W positions/slot.
+        from .engine import check_engine_arch
+        check_engine_arch(cfg)
         if window is None:
             window = (cfg.sliding_window
                       if cfg.layer_types and cfg.sliding_window

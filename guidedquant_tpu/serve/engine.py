@@ -268,9 +268,23 @@ def unroll_layers(params: Dict) -> Dict:
     return out
 
 
+def check_engine_arch(cfg: ModelConfig) -> None:
+    """The decode engine/batcher serve rope + rmsnorm gated-MLP archs
+    (llama/qwen/gemma/mistral) — the same scope as the reference's
+    gpt-fast engine (inference/model.py:81-134, llama-only). OPT/Phi are
+    quantization/eval-side: use llama.forward / evaluate_ppl."""
+    if (cfg.pos_embed_type == "learned" or cfg.norm_type == "ln"
+            or "fc1" in cfg.module_names):
+        raise NotImplementedError(
+            f"arch '{cfg.name}' (learned positions / LayerNorm / "
+            "parallel-block MLP) is not served by the decode engine; "
+            "quantize + evaluate it via llama.forward paths")
+
+
 def _run_stack(params, cfg: ModelConfig, tokens, state: DecodeState,
                positions) -> Tuple[jnp.ndarray, DecodeState]:
     """tokens [B, S] written at state.pos; returns (logits [B, S, V], state)."""
+    check_engine_arch(cfg)
     B, S = tokens.shape
     S_max = state.k.shape[2]
     cos, sin = llama.rope_cos_sin(cfg, positions)

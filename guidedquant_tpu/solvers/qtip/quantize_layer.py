@@ -83,10 +83,14 @@ def quantize_linear_qtip(W: np.ndarray, H: np.ndarray, cb: BitshiftCodebook,
     Qidxs = np.zeros((m, n // cb.V), np.int32)
     for i in range(g):
         out = block_LDL(HRr[i], td_y)
-        if out is None:
-            # extra damping fallback
-            out = block_LDL(regularize_H(HRr[i], 0.1), td_y)
-            assert out is not None, "HRr not PD even after damping"
+        # escalating damping ladder (the LNQ solver's PD-fallback pattern):
+        # f32-accumulated Hessians can carry small negative eigenvalues
+        # (observed ~ -0.05 * mean(diag) on real calibration runs)
+        sigma = 0.1
+        while out is None and sigma <= 1e3:
+            out = block_LDL(regularize_H(HRr[i], sigma), td_y)
+            sigma *= 10.0
+        assert out is not None, "HRr not PD even after damping"
         L, _ = out
         L[np.diag_indices(n)] = 0.0
         sl = slice(i * rows_per_g, (i + 1) * rows_per_g)

@@ -83,6 +83,7 @@ def gptq_quantize(W: np.ndarray, H: np.ndarray, cfg: WeightQuantConfig,
         Wint = np.zeros_like(Wsub)
         Scales = np.zeros_like(Wsub)
         scale = None if base_scale is None else base_scale[rs:re]
+        zero = None if base_zero is None else base_zero[rs:re]
 
         for i1 in range(0, n, blocksize):
             i2 = min(i1 + blocksize, n)
@@ -105,9 +106,15 @@ def gptq_quantize(W: np.ndarray, H: np.ndarray, cfg: WeightQuantConfig,
                         Wgrp = np.concatenate(
                             [W1[:, i:], Wsub[:, i2:end]], axis=1)
                     gs_scale, gs_zero = weight_find_params(Wgrp, cfg)
-                    scale = gs_scale
-                q_int = np.clip(np.round(w[:, None] / scale), -(maxq + 1),
-                                maxq)
+                    scale, zero = gs_scale, gs_zero
+                if cfg.sym:
+                    q_int = np.clip(np.round(w[:, None] / scale),
+                                    -(maxq + 1), maxq)
+                else:
+                    # asym grid: q in [0, maxq] around the zero point;
+                    # store Wint = q - zero so Q == Scale * Wint holds
+                    q_int = np.clip(np.round(w[:, None] / scale) + zero,
+                                    0, maxq) - zero
                 q = (scale * q_int)[:, 0]
                 Q[:, i1 + i] = q
                 Wint[:, i1 + i] = q_int[:, 0]

@@ -108,3 +108,41 @@ def test_autodetect_arch():
         info = autodetect_arch(model.state_dict().keys())
         assert info["layers_prefix"] == prefix
         assert len(info["module_names"]) == n_mod
+
+
+def test_opt_hessian_accumulation():
+    """accumulate_hessians on a learned-position (no-RoPE) arch — cos/sin
+    are None end to end (regression: np.asarray(None) crashed the sweep)."""
+    import jax
+    from guidedquant_tpu.models.config import get_config
+    from guidedquant_tpu.calib.gradients import get_gradients
+    from guidedquant_tpu.calib.hessians import accumulate_hessians
+
+    cfg = get_config("opt-1.3b").replace(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=-1, max_seq_len=40)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    tokens = np.random.default_rng(1).integers(0, 64, size=(4, 8)
+                                               ).astype(np.int32)
+    _, sal = get_gradients(params, cfg, tokens, num_groups=1, batch_size=2)
+    hs = accumulate_hessians(params, cfg, tokens, sal, num_groups=1,
+                             batch_size=2)
+    assert len(hs) == 2
+    for h in hs:
+        assert set(h) == set(cfg.module_names)
+        for m, H in h.items():
+            assert np.isfinite(H).all(), m
+            np.testing.assert_allclose(H[0], H[0].T, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_rejects_unsupported_archs():
+    """OPT/Phi are quantization/eval-side (like the reference's llama-only
+    gpt-fast engine); the serving engine must fail fast, not AttributeError
+    deep inside a traced layer."""
+    import pytest
+    from guidedquant_tpu.models.config import get_config
+    from guidedquant_tpu.serve import engine
+    for name in ("opt-1.3b", "phi-2"):
+        with pytest.raises(NotImplementedError):
+            engine.check_engine_arch(get_config(name))
+    engine.check_engine_arch(get_config("llama-3.2-1b"))  # served fine

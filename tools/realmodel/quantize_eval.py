@@ -95,6 +95,44 @@ def main():
                       float(ppl))
         print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
 
+    def run_qtip(K, groups=1):
+        """QTIP trellis VQ on the real checkpoint (guided Hessians)."""
+        key = f"{K}bit-qtip" + (f"-g{groups}" if groups != 1 else "")
+        if has_result(args.results, name, "ppl", "pycorpus-val", key):
+            print(f"{key}: cached", flush=True)
+            return
+        from guidedquant_tpu.pipelines.quantize_qtip import quantize_qtip
+        from guidedquant_tpu.formats import qtip_format
+        packed = quantize_qtip(
+            name, cfg=cfg, params=params, K=K,
+            cache_dir=args.cache_dir, dataset="pycorpus",
+            seq_len=args.seq, num_examples=args.num_examples,
+            num_groups=groups, tokens=calib_tokens)
+        qcfg, qparams = qtip_format.load_packed(packed, dtype=jnp.float32)
+        ppl = evaluate_ppl(qparams, qcfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", key,
+                      float(ppl))
+        print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
+
+    def run_spinquant(w_bits, a_bits, groups=1):
+        """SpinQuant rotate + guided GPTQ W{w}A{a} on the real checkpoint."""
+        key = (f"w{w_bits}a{a_bits}-spinquant"
+               + (f"-g{groups}" if groups != 1 else ""))
+        if has_result(args.results, name, "ppl", "pycorpus-val", key):
+            print(f"{key}: cached", flush=True)
+            return
+        from guidedquant_tpu.pipelines.quantize_spinquant import spinquant_ptq
+        qcfg, qparams = spinquant_ptq(
+            name, cfg=cfg, params=params, w_bits=w_bits, a_bits=a_bits,
+            rotate=True, guided=True, num_groups=groups,
+            cache_dir=args.cache_dir, dataset="pycorpus",
+            seq_len=args.seq, num_examples=args.num_examples,
+            tokens=calib_tokens)
+        ppl = evaluate_ppl(qparams, qcfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", key,
+                      float(ppl))
+        print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
+
     wanted = args.configs or ["4-free", "3-free", "2-free", "2-affine",
                               "2-shared", "nosal"]
     for w in wanted:
@@ -102,7 +140,11 @@ def main():
         groups = 1
         if parts[-1].startswith("g") and parts[-1][1:].isdigit():
             groups = int(parts.pop()[1:])
-        if parts[0] == "nosal":
+        if parts[1:] == ["qtip"]:
+            run_qtip(int(parts[0]), groups)
+        elif parts[0] == "spinquant":  # e.g. spinquant-4-4
+            run_spinquant(int(parts[1]), int(parts[2]), groups)
+        elif parts[0] == "nosal":
             run(2, "free", nosal=True, groups=groups)
         else:
             run(int(parts[0]), parts[1], groups=groups)
