@@ -80,15 +80,18 @@ def make_kmeans_tlut(tlut_bits: int, V: int = 2, seed: int = 0,
     0.9682458365518543 (reference bitshift.py:146-160; we run our own Lloyd
     instead of loading a cached scipy result)."""
     rng = np.random.default_rng(seed)
-    data = rng.normal(size=(n_samples, V))
-    C = rng.normal(size=(1 << tlut_bits, V))
+    data = rng.normal(size=(n_samples, V)).astype(np.float32)
+    C = rng.normal(size=(1 << tlut_bits, V)).astype(np.float32)
+    ncl = len(C)
     for _ in range(iters):
-        d = ((data[:, None, :] - C[None]) ** 2).sum(-1)
-        lab = d.argmin(1)
-        for c in range(len(C)):
-            m = lab == c
-            if m.any():
-                C[c] = data[m].mean(0)
+        # argmin ||a - c||^2 == argmin(|c|^2 - 2 a.c): one matmul instead
+        # of the [n, 2^tb, V] broadcast (which took ~10 min at tb=9)
+        lab = np.argmin((C ** 2).sum(-1)[None, :] - 2.0 * data @ C.T, axis=1)
+        counts = np.bincount(lab, minlength=ncl)
+        sums = np.stack([np.bincount(lab, weights=data[:, v],
+                                     minlength=ncl) for v in range(V)], -1)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     C = C / C.std() * 0.9682458365518543
     return C.astype(np.float32)
 
@@ -184,6 +187,34 @@ class BitshiftCodebook:
         final_cost, tstars = jax.lax.scan(body, cost0, xs[1:])
         return tstars, final_cost
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _viterbi_full(self, X: jnp.ndarray, init_cost: jnp.ndarray,
+                      use_overlap: bool, overlap_low: jnp.ndarray):
+        """Forward DP + on-device backtrace -> states [T/V, B] int32.
+
+        The backpointer tensor (T/V x B x 2^(L-KV) uint8, ~67 MB per call
+        at L=16) never leaves the device — only the traced-back state
+        sequence (T/V x B int32) is fetched. On tunnel transports the
+        host-side backtrace was ~50x the DP cost in transfer time.
+        """
+        L, KV = self.L, self.KV
+        nred = 1 << (L - KV)
+        tstars, final_cost = self._viterbi_device(X, init_cost)
+        if use_overlap:
+            low = jnp.arange(1 << L, dtype=jnp.int32) & (nred - 1)
+            final_cost = jnp.where(low[None, :] == overlap_low[:, None],
+                                   final_cost, jnp.inf)
+        s_last = jnp.argmin(final_cost, axis=1).astype(jnp.int32)  # [B]
+
+        def back(s, tstar_j):
+            r = s >> KV
+            t = jnp.take_along_axis(tstar_j, r[:, None], axis=1
+                                    )[:, 0].astype(jnp.int32)
+            return (t << (L - KV)) | r, s
+
+        s0, ys = jax.lax.scan(back, s_last, tstars, reverse=True)
+        return jnp.concatenate([s0[None], ys], axis=0)
+
     def viterbi(self, X: np.ndarray,
                 overlap: Optional[np.ndarray] = None) -> np.ndarray:
         """X [T, B] -> state sequence [T/V, B] int32 (reference
@@ -197,27 +228,14 @@ class BitshiftCodebook:
             # initial states restricted to top L-KV bits == overlap
             top = states >> KV
             init = np.where(top[None, :] == overlap[:, None], 0.0, np.inf)
+            ov_low = jnp.asarray(overlap, jnp.int32)
         else:
             init = np.zeros((B, 1 << L), np.float32)
-        tstars, final_cost = self._viterbi_device(
-            jnp.asarray(X, jnp.float32), jnp.asarray(init, jnp.float32))
-        tstars = np.asarray(tstars)
-        final_cost = np.asarray(final_cost)
-        if overlap is not None:
-            # final states restricted to low L-KV bits == overlap
-            low = states & (nred - 1)
-            final_cost = np.where(low[None, :] == overlap[:, None],
-                                  final_cost, np.inf)
-
-        n_steps = T // V
-        out = np.zeros((n_steps, B), np.int32)
-        out[-1] = final_cost.argmin(axis=1)
-        rows = np.arange(B)
-        for i in range(n_steps - 1, 0, -1):
-            r = out[i] >> KV  # reduced bits shared with predecessor
-            t = tstars[i - 1][rows, r]
-            out[i - 1] = (t.astype(np.int64) << (L - KV)) | r
-        return out
+            ov_low = jnp.zeros((B,), jnp.int32)
+        out = self._viterbi_full(
+            jnp.asarray(X, jnp.float32), jnp.asarray(init, jnp.float32),
+            overlap is not None, ov_low)
+        return np.asarray(out)
 
     def quantize_seq(self, X: np.ndarray,
                      overlap: Optional[np.ndarray] = None) -> np.ndarray:

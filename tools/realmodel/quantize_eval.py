@@ -14,6 +14,9 @@ Configs swept:
 """
 
 import argparse
+import faulthandler
+import logging
+import signal
 import json
 import os
 import sys
@@ -36,6 +39,9 @@ def model_cfg(seq):
 
 
 def main():
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default="cache/realmodel/ckpt.npz")
     p.add_argument("--corpus", default="cache/realmodel/corpus.npz")
