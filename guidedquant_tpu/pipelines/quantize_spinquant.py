@@ -39,7 +39,10 @@ def _transform_down_hessian(H: np.ndarray, f: int) -> np.ndarray:
     """Runtime applies h' = matmul_hadU(h) = h @ Hm before down_proj, so the
     Hessian of the folded weight is H' = Hm^T H Hm."""
     Hm = hadamard_matrix(f)
-    out = np.einsum("ji,gjk,kl->gil", Hm, np.asarray(H, np.float64), Hm)
+    # two BLAS matmuls per group — a three-operand np.einsum without
+    # optimize= evaluates the naive O(f^4) nested loop (hours at f=1536)
+    H64 = np.asarray(H, np.float64)
+    out = np.stack([Hm.T @ Hg @ Hm for Hg in H64])
     return out.astype(np.float32)
 
 

@@ -77,7 +77,19 @@ def gptq_quantize(W: np.ndarray, H: np.ndarray, cfg: WeightQuantConfig,
 
         damp = percdamp * float(np.mean(np.diag(Hsub)))
         Hsub[np.diag_indices(n)] += damp
-        Hinv = _cholesky_inv_upper(Hsub).astype(np.float32)
+        # escalating damping: f32-accumulated calibration Hessians can
+        # carry small negative eigenvalues (same ladder as the LNQ/QTIP
+        # solvers); each retry adds 10x the previous total
+        for _ in range(6):
+            try:
+                Hinv = _cholesky_inv_upper(Hsub).astype(np.float32)
+                break
+            except np.linalg.LinAlgError:
+                Hsub[np.diag_indices(n)] += 9.0 * damp
+                damp *= 10.0
+        else:
+            raise np.linalg.LinAlgError(
+                "Hessian not PD after escalating damping")
 
         Q = np.zeros_like(Wsub)
         Wint = np.zeros_like(Wsub)
