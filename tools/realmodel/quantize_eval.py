@@ -139,6 +139,34 @@ def main():
                       float(ppl))
         print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
 
+    def run_kd(bits=2, steps=200):
+        """full_nuq KD finetune of the packed model against the fp32
+        teacher (PV-tuning analog, reference full_main.py:712-911), then
+        held-out ppl of the repacked student."""
+        key = f"{bits}bit-free-kd{steps}"
+        if has_result(args.results, name, "ppl", "pycorpus-val", key):
+            print(f"{key}: cached", flush=True)
+            return
+        from guidedquant_tpu.pipelines.finetune_e2e import (
+            full_nuq_finetune, repack_student)
+        packed = layerwise_nuq(
+            name, cfg=cfg, params=params, seed_precision=bits,
+            cache_dir=args.cache_dir, dataset="pycorpus",
+            seq_len=args.seq, num_examples=args.num_examples,
+            num_groups=1, num_iterations=3, cd_cycles=4,
+            codebook_family="free", tokens=calib_tokens)  # cached
+        _q, qparams = load_packed(packed, precision=bits,
+                                  dtype=jnp.float32)
+        codes, luts, hist = full_nuq_finetune(
+            qparams, cfg, params, calib_tokens, bits=bits, steps=steps,
+            batch_size=4, lr=1e-4)
+        ft = repack_student(qparams, cfg, codes, luts, bits=bits)
+        ppl = evaluate_ppl(ft, cfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", key,
+                      float(ppl))
+        print(f"{key}: KL {hist[0]:.4f} -> {hist[-1]:.4f}, "
+              f"ppl/byte {ppl:.4f}", flush=True)
+
     wanted = args.configs or ["4-free", "3-free", "2-free", "2-affine",
                               "2-shared", "nosal"]
     for w in wanted:
@@ -146,7 +174,9 @@ def main():
         groups = 1
         if parts[-1].startswith("g") and parts[-1][1:].isdigit():
             groups = int(parts.pop()[1:])
-        if parts[1:] == ["qtip"]:
+        if parts[0] == "kd":  # e.g. kd-2-200
+            run_kd(int(parts[1]), int(parts[2]))
+        elif parts[1:] == ["qtip"]:
             run_qtip(int(parts[0]), groups)
         elif parts[0] == "spinquant":  # e.g. spinquant-4-4
             run_spinquant(int(parts[1]), int(parts[2]), groups)
