@@ -139,6 +139,46 @@ def main():
                       float(ppl))
         print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
 
+    def run_qtip_e2e(K=2, steps=150):
+        """QTIP whole-model SU/SV/tlut E2E KD finetune (reference
+        finetune_susv_e2e) on top of the packed trellis model."""
+        key = f"{K}bit-qtip-e2e{steps}"
+        if has_result(args.results, name, "ppl", "pycorpus-val", key):
+            print(f"{key}: cached", flush=True)
+            return
+        from guidedquant_tpu.pipelines.quantize_qtip import quantize_qtip
+        from guidedquant_tpu.pipelines.qtip_e2e import (
+            qtip_e2e_finetune, finalize_qtip_params)
+        from guidedquant_tpu.formats import qtip_format
+        from guidedquant_tpu.solvers.qtip.codebook import BitshiftCodebook
+        from guidedquant_tpu.utils import cache as cache_util
+        packed = quantize_qtip(
+            name, cfg=cfg, params=params, K=K,
+            cache_dir=args.cache_dir, dataset="pycorpus",
+            seq_len=args.seq, num_examples=args.num_examples,
+            num_groups=1, tokens=calib_tokens)  # cached
+        # rebuild the codebook from the checkpoint's own tlut (the packed
+        # states were Viterbi-encoded against it)
+        meta = cache_util.load_json(os.path.join(packed, "config.json"))
+        qp_meta = meta["quip_params"]
+        z = cache_util.load_npz_dict(os.path.join(packed, "model.npz"))
+        cb = BitshiftCodebook(L=qp_meta["L"], K=qp_meta["K"],
+                              V=qp_meta["V"],
+                              tlut_bits=qp_meta["tlut_bits"],
+                              decode_mode=qp_meta["decode_mode"],
+                              tlut=z.get("tlut"))
+        qcfg, qparams = qtip_format.load_packed(packed, dtype=jnp.float32,
+                                                cb=cb)
+        tuned, hist = qtip_e2e_finetune(qparams, qcfg, params, calib_tokens,
+                                        cb=cb, steps=steps, batch_size=4,
+                                        lr=1e-4)
+        served = finalize_qtip_params(tuned, qcfg)
+        ppl = evaluate_ppl(served, qcfg, val_stream, ctx_len=args.seq)
+        record_result(args.results, name, "ppl", "pycorpus-val", key,
+                      float(ppl))
+        print(f"{key}: KL {hist[0]:.4f} -> {hist[-1]:.4f}, "
+              f"ppl/byte {ppl:.4f}", flush=True)
+
     def run_kd(bits=2, steps=200):
         """full_nuq KD finetune of the packed model against the fp32
         teacher (PV-tuning analog, reference full_main.py:712-911), then
@@ -176,6 +216,8 @@ def main():
             groups = int(parts.pop()[1:])
         if parts[0] == "kd":  # e.g. kd-2-200
             run_kd(int(parts[1]), int(parts[2]))
+        elif parts[0] == "qtipe2e":  # e.g. qtipe2e-2-150
+            run_qtip_e2e(int(parts[1]), int(parts[2]))
         elif parts[1:] == ["qtip"]:
             run_qtip(int(parts[0]), groups)
         elif parts[0] == "spinquant":  # e.g. spinquant-4-4
