@@ -66,3 +66,38 @@ def test_70b_geometry_sharded_step():
     with mesh:
         l1, l2 = _decode_logits(sp, cfg, prompt, mesh, kv_shard)
     assert np.isfinite(l1).all() and np.isfinite(l2).all()
+
+
+def test_tp_sharded_ring_window_decode():
+    """tp-sharded Gemma3 ring-window decode (sliding layers in W-slot ring
+    caches, kv-heads sharded on 'tp') matches the unsharded dense path."""
+    cfg = get_config("tiny").replace(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=4, num_heads=8, num_kv_heads=8, max_seq_len=64,
+        sliding_window=4, rope_local_theta=10000.0,
+        layer_types=("sliding", "sliding", "global", "sliding"))
+    stacked = llama.init_params(cfg, jax.random.PRNGKey(2))
+    params = engine.unroll_layers(stacked)
+    prompt = np.array([[5, 9, 3, 77, 12, 8]], dtype=np.int32)
+
+    def run(p, kv_sharding=None):
+        state = engine.init_state(cfg, cfg.num_layers, 1, 32,
+                                  dtype=jnp.float32, sharding=kv_sharding,
+                                  window=cfg.sliding_window)
+        assert state.wk is not None
+        logits, state = engine.prefill(p, cfg, jnp.asarray(prompt), state)
+        toks, _, _ = engine.decode_n_tokens(
+            p, cfg, jnp.argmax(logits, -1).astype(jnp.int32), state, 6)
+        return np.asarray(logits, np.float32), np.asarray(toks)
+
+    ref_l, ref_t = run(params)
+
+    mesh = make_mesh(8, shape={"dp": 1, "fsdp": 2, "tp": 4})
+    sp = sharding.shard_params(mesh, stacked,
+                               sharding.dense_param_specs(cfg))
+    sp = engine.unroll_layers(sp)  # per-layer slices keep their sharding
+    kv_shard = NamedSharding(mesh, sharding.kv_cache_spec())
+    with mesh:
+        got_l, got_t = run(sp, kv_shard)
+    np.testing.assert_allclose(got_l, ref_l, atol=2e-4)
+    np.testing.assert_array_equal(got_t, ref_t)
