@@ -39,29 +39,51 @@ class SlotState:
     ``k/v`` then hold only the global layers. Same design as
     engine.DecodeState, with per-slot positions."""
 
-    k: jnp.ndarray    # [L, B, S_max, KV, Dh]
+    k: jnp.ndarray    # [L, B, S_max, KV, Dh] (dtype, or int8 codes)
     v: jnp.ndarray
     pos: jnp.ndarray  # [B] int32 — tokens currently in each slot's cache
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, KV, 1] f32
+    v_scale: Optional[jnp.ndarray] = None
     wk: Optional[jnp.ndarray] = None
     wv: Optional[jnp.ndarray] = None
+    wk_scale: Optional[jnp.ndarray] = None
+    wv_scale: Optional[jnp.ndarray] = None
+    kv_bits: int = struct.field(pytree_node=False, default=16)
+
+    def group(self, window: bool):
+        """Cache-array tuple for the global (or ring) layer group:
+        (k, v[, k_scale, v_scale])."""
+        a = (self.wk, self.wv, self.wk_scale, self.wv_scale) if window \
+            else (self.k, self.v, self.k_scale, self.v_scale)
+        return a[:2] if a[2] is None else a
 
 
 def init_slots(cfg: ModelConfig, num_layers: int, slots: int, max_seq: int,
-               dtype=jnp.bfloat16, window: int = 0) -> SlotState:
+               dtype=jnp.bfloat16, window: int = 0,
+               kv_bits: int = 16) -> SlotState:
+    quant = kv_bits < 16
+
     def _alloc(L, T):
-        return jnp.zeros((L, slots, T, cfg.num_kv_heads, cfg.head_dim),
-                         dtype)
+        shape = (L, slots, T, cfg.num_kv_heads, cfg.head_dim)
+        if quant:
+            return (jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape[:-1] + (1,), jnp.float32),
+                    jnp.zeros(shape[:-1] + (1,), jnp.float32))
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), None, None)
 
     pos = jnp.zeros((slots,), jnp.int32)
     if window > 0:
         assert cfg.layer_types and len(cfg.layer_types) == num_layers
         Lg = sum(t == "global" for t in cfg.layer_types)
-        z = _alloc(Lg, max_seq)
-        wz = _alloc(num_layers - Lg, min(window, max_seq))
-        return SlotState(k=z, v=jnp.copy(z), pos=pos,
-                         wk=wz, wv=jnp.copy(wz))
-    z = _alloc(num_layers, max_seq)
-    return SlotState(k=z, v=jnp.copy(z), pos=pos)
+        k, v, ks, vs = _alloc(Lg, max_seq)
+        wk, wv, wks, wvs = _alloc(num_layers - Lg, min(window, max_seq))
+        return SlotState(k=k, v=v, pos=pos, k_scale=ks, v_scale=vs,
+                         wk=wk, wv=wv, wk_scale=wks, wv_scale=wvs,
+                         kv_bits=kv_bits)
+    k, v, ks, vs = _alloc(num_layers, max_seq)
+    return SlotState(k=k, v=v, pos=pos, k_scale=ks, v_scale=vs,
+                     kv_bits=kv_bits)
 
 
 def _write_slots(cache, new, pos):
@@ -86,7 +108,10 @@ def _ring_mask(pos, positions, Wb: int, window: int):
 
 
 def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
-                ring_window: int = 0, ring_prefill: bool = False):
+                ring_window: int = 0, ring_prefill: bool = False,
+                kv_bits: int = 16):
+    """kv_l: (k, v) caches or (k, v, k_scale, v_scale) int8-code caches
+    (engine-style quantized KV; scales per (slot, position, head))."""
     from ..nn.linear import apply_linear
     B, S, _ = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -105,32 +130,61 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
         k = llama._norm(cfg, k, lp["k_norm"])
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
+    quant = len(kv_l) == 4
+    if quant:
+        from .engine import _kv_quant
+
+        def _deq(c, s):
+            return (c.astype(jnp.float32) * s).astype(q.dtype)
+
     if ring_window:
         # W-slot ring (read-before-write + concat, as in engine ring mode;
         # t_mask must be the _ring_mask over concat(ring, fresh block))
-        k_ring, v_ring = kv_l  # [B, Wb, KV, Dh]
-        Wb = k_ring.shape[1]
+        Wb = kv_l[0].shape[1]
         m = min(S, Wb)
-        k_all = jnp.concatenate([k_ring, k.astype(k_ring.dtype)], axis=1)
-        v_all = jnp.concatenate([v_ring, v.astype(v_ring.dtype)], axis=1)
+        if quant:
+            k_ring = _deq(kv_l[0], kv_l[2])
+            v_ring = _deq(kv_l[1], kv_l[3])
+            kq, ks = _kv_quant(k, kv_bits)
+            vq, vs = _kv_quant(v, kv_bits)
+            # fresh block attends through its own quantized codes, matching
+            # the dense-cache path
+            kf, vf = _deq(kq, ks), _deq(vq, vs)
+            fresh = (kq, vq, ks, vs)
+        else:
+            k_ring, v_ring = kv_l
+            kf, vf = k.astype(k_ring.dtype), v.astype(v_ring.dtype)
+            fresh = (k, v)
+        k_all = jnp.concatenate([k_ring, kf], axis=1)
+        v_all = jnp.concatenate([v_ring, vf], axis=1)
         ctx = _attend(cfg, q, k_all, v_all, t_mask)
 
         if ring_prefill:
             # bucketed prefill: the caller rebuilds the ring by gathering
             # the last-W TRUE positions from the fresh block (a scatter of
-            # right-padded blocks would pollute ring slots with pad K/V)
-            k_cache, v_cache = k, v
+            # right-padded blocks would pollute ring slots with pad K/V).
+            # Return the fresh bf16 block; the caller re-quantizes.
+            new_kv = (k, v)
         else:
             def write_one(c, n, p):
                 slots = jnp.mod(p + (S - m) + jnp.arange(m), Wb)
                 return c.at[slots].set(n[S - m:].astype(c.dtype))
 
-            k_cache = jax.vmap(write_one)(k_ring, k, pos)
-            v_cache = jax.vmap(write_one)(v_ring, v, pos)
+            new_kv = tuple(jax.vmap(write_one)(c, n, pos)
+                           for c, n in zip(kv_l, fresh))
+    elif quant:
+        kq, ks = _kv_quant(k, kv_bits)
+        vq, vs = _kv_quant(v, kv_bits)
+        new_kv = tuple(_write_slots(c, n, pos)
+                       for c, n in zip(kv_l, (kq, vq, ks, vs)))
+        k_all = _deq(new_kv[0], new_kv[2])
+        v_all = _deq(new_kv[1], new_kv[3])
+        ctx = _attend(cfg, q, k_all, v_all, t_mask)
     else:
         k_cache, v_cache = kv_l
         k_cache = _write_slots(k_cache, k, pos)
         v_cache = _write_slots(v_cache, v, pos)
+        new_kv = (k_cache, v_cache)
         ctx = _attend(cfg, q, k_cache, v_cache, t_mask)
     attn_out = apply_linear(lp["o_proj"], ctx)
     if cfg.sandwich_norms:
@@ -147,7 +201,7 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
     m = apply_linear(lp["down_proj"], llama._act(cfg, g) * u)
     if cfg.sandwich_norms:
         m = llama._norm(cfg, m, lp["post_mlp_norm"])
-    return x + m, (k_cache, v_cache)
+    return x + m, new_kv
 
 
 def _layer_ropes_masks(cfg: ModelConfig, positions, T: int):
@@ -168,6 +222,12 @@ def _layer_ropes_masks(cfg: ModelConfig, positions, T: int):
     return cos_l, sin_l, sliding[:, None, None], is_global
 
 
+def _compute_dtype(state: SlotState):
+    """Activation dtype: the cache dtype, unless the cache holds int8
+    codes (quantized KV) — then bf16."""
+    return state.k.dtype if state.kv_bits >= 16 else jnp.bfloat16
+
+
 def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
                       state: SlotState, active: jnp.ndarray):
     """One token for every slot (inactive slots masked). tok [B]; active [B]
@@ -175,7 +235,7 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
     S_max = state.k.shape[2]
     positions = state.pos[:, None]  # [B, 1]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, tok[:, None], cfg).astype(state.k.dtype)
+    x = llama.embed_tokens(params, tok[:, None], cfg).astype(_compute_dtype(state))
     t_ids = jnp.arange(S_max)[None, None, :]
     # [B, 1, S]: slot b attends to t <= pos[b]
     t_mask = jnp.where(t_ids <= positions[:, :, None], 0.0, -1e30)
@@ -188,57 +248,64 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
         rmask = _ring_mask(state.pos, positions, state.wk.shape[2],
                            cfg.sliding_window)
 
+    kv_g = state.group(window=False)
+    kv_w = state.group(window=True) if ring else None
     if isinstance(params["layers"], (tuple, list)):
         # unrolled per-layer buffers (engine.unroll_layers): Pallas kernels
         # bind packed operands directly instead of consuming per-step
         # HBM->HBM copies of scan slices.
-        k_new, v_new = state.k, state.v
         gi = wi = 0
         for li, lp in enumerate(params["layers"]):
             sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
             if ring and sliding:
-                x, (k_l, v_l) = _slot_layer(
+                x, new = _slot_layer(
                     lp, cfg, x, pl_ctx[0], pl_ctx[1],
-                    (wk_new[wi], wv_new[wi]), state.pos, rmask,
-                    ring_window=cfg.sliding_window)
-                wk_new = wk_new.at[wi].set(k_l)
-                wv_new = wv_new.at[wi].set(v_l)
+                    tuple(a[wi] for a in kv_w), state.pos, rmask,
+                    ring_window=cfg.sliding_window, kv_bits=state.kv_bits)
+                kv_w = tuple(a.at[wi].set(n) for a, n in zip(kv_w, new))
                 wi += 1
                 continue
             if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
-            x, (k_l, v_l) = _slot_layer(lp, cfg, x, c_, s_,
-                                        (k_new[gi], v_new[gi]),
-                                        state.pos, mk)
-            k_new = k_new.at[gi].set(k_l)
-            v_new = v_new.at[gi].set(v_l)
+            x, new = _slot_layer(lp, cfg, x, c_, s_,
+                                 tuple(a[gi] for a in kv_g),
+                                 state.pos, mk, kv_bits=state.kv_bits)
+            kv_g = tuple(a.at[gi].set(n) for a, n in zip(kv_g, new))
             gi += 1
     else:
         assert not ring, "ring-window serving requires unrolled params"
+
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
-                lp, flag, k_l, v_l = xs
+                lp, flag, kv = xs
                 c_ = jnp.where(flag, cos, pl_ctx[0])
                 s_ = jnp.where(flag, sin, pl_ctx[1])
                 mk = jnp.where(flag, mask, pl_ctx[2])
             else:
-                lp, k_l, v_l = xs
+                lp, kv = xs
                 c_, s_, mk = cos, sin, mask
-            x, (k_l, v_l) = _slot_layer(lp, cfg, x, c_, s_, (k_l, v_l),
-                                        state.pos, mk)
-            return x, (k_l, v_l)
+            x, kv = _slot_layer(lp, cfg, x, c_, s_, kv, state.pos, mk,
+                                kv_bits=state.kv_bits)
+            return x, kv
 
         xs = ((params["layers"],)
               + ((pl_ctx[3],) if pl_ctx is not None else ())
-              + (state.k, state.v))
-        x, (k_new, v_new) = jax.lax.scan(body, x, xs)
+              + (kv_g,))
+        x, kv_g = jax.lax.scan(body, x, xs)
     logits = llama.unembed(params, cfg, x)[:, 0]
     new_pos = jnp.where(active, state.pos + 1, state.pos)
-    return logits, SlotState(k=k_new, v=v_new, pos=new_pos,
-                             wk=wk_new, wv=wv_new)
+    quant = state.kv_bits < 16
+    return logits, SlotState(
+        k=kv_g[0], v=kv_g[1], pos=new_pos,
+        k_scale=kv_g[2] if quant else None,
+        v_scale=kv_g[3] if quant else None,
+        wk=kv_w[0] if ring else None, wv=kv_w[1] if ring else None,
+        wk_scale=kv_w[2] if ring and quant else None,
+        wv_scale=kv_w[3] if ring and quant else None,
+        kv_bits=state.kv_bits)
 
 
 decode_step_slots = partial(jax.jit, static_argnames=("cfg",),
@@ -300,7 +367,7 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         true_len = jnp.int32(S)
     positions = jnp.arange(S)[None, :]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, prompt, cfg).astype(state.k.dtype)
+    x = llama.embed_tokens(params, prompt, cfg).astype(_compute_dtype(state))
     mask = llama.causal_mask(S, S_max)[None, None, None]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
     ring = state.wk is not None
@@ -315,52 +382,67 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         g_src = jnp.clip(g, 0, S - 1)  # g<0 slots: junk, masked until
         #                                overwritten (decode ring mask)
 
-    def layer_into_slot(lp, x, k_l, v_l, c_, s_, mk):
+    quant = state.kv_bits < 16
+
+    def _fresh(T, dtype):
+        z = jnp.zeros((1, T, cfg.num_kv_heads, cfg.head_dim), dtype)
+        if quant:
+            s = jnp.zeros((1, T, cfg.num_kv_heads, 1), jnp.float32)
+            return (z, jnp.copy(z), s, jnp.copy(s))
+        return (z, jnp.copy(z))
+
+    def layer_into_slot(lp, x, kv_l, c_, s_, mk):
         # compute with an isolated cache for this slot
-        k_slot = jnp.zeros((1, S_max, cfg.num_kv_heads, cfg.head_dim),
-                           state.k.dtype)
-        v_slot = jnp.zeros_like(k_slot)
-        x, (k_slot, v_slot) = _slot_layer(
-            lp, cfg, x, c_, s_, (k_slot, v_slot),
-            jnp.zeros((1,), jnp.int32), mk)
-        k_l = jax.lax.dynamic_update_slice(k_l, k_slot, (slot, 0, 0, 0))
-        v_l = jax.lax.dynamic_update_slice(v_l, v_slot, (slot, 0, 0, 0))
-        return x, k_l, v_l
+        kv_slot = _fresh(S_max, state.k.dtype)
+        x, kv_slot = _slot_layer(lp, cfg, x, c_, s_, kv_slot,
+                                 jnp.zeros((1,), jnp.int32), mk,
+                                 kv_bits=state.kv_bits)
+        kv_l = tuple(
+            jax.lax.dynamic_update_slice(a, n, (slot, 0, 0, 0))
+            for a, n in zip(kv_l, kv_slot))
+        return x, kv_l
 
-    def ring_into_slot(lp, x, wk_l, wv_l, c_, s_):
-        ring0 = jnp.zeros((1, Wb, cfg.num_kv_heads, cfg.head_dim),
-                          state.wk.dtype)
+    def ring_into_slot(lp, x, kv_l, c_, s_):
+        ring0 = _fresh(Wb, state.wk.dtype)
         x, (kf, vf) = _slot_layer(
-            lp, cfg, x, c_, s_, (ring0, jnp.copy(ring0)),
+            lp, cfg, x, c_, s_, ring0,
             jnp.zeros((1,), jnp.int32), rmask,
-            ring_window=cfg.sliding_window, ring_prefill=True)
-        ring_k = kf[:, g_src].astype(wk_l.dtype)
-        ring_v = vf[:, g_src].astype(wv_l.dtype)
-        wk_l = jax.lax.dynamic_update_slice(wk_l, ring_k, (slot, 0, 0, 0))
-        wv_l = jax.lax.dynamic_update_slice(wv_l, ring_v, (slot, 0, 0, 0))
-        return x, wk_l, wv_l
+            ring_window=cfg.sliding_window, ring_prefill=True,
+            kv_bits=state.kv_bits)
+        ring_k, ring_v = kf[:, g_src], vf[:, g_src]
+        if quant:
+            from .engine import _kv_quant
+            rkq, rks = _kv_quant(ring_k, state.kv_bits)
+            rvq, rvs = _kv_quant(ring_v, state.kv_bits)
+            new = (rkq, rvq, rks, rvs)
+        else:
+            new = (ring_k, ring_v)
+        kv_l = tuple(
+            jax.lax.dynamic_update_slice(a, n.astype(a.dtype),
+                                         (slot, 0, 0, 0))
+            for a, n in zip(kv_l, new))
+        return x, kv_l
 
+    kv_g = state.group(window=False)
+    kv_w = state.group(window=True) if ring else None
     if isinstance(params["layers"], (tuple, list)):
-        k_new, v_new = state.k, state.v
         gi = wi = 0
         for li, lp in enumerate(params["layers"]):
             sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
             if ring and sliding:
-                x, wk_l, wv_l = ring_into_slot(lp, x, wk_new[wi],
-                                               wv_new[wi], pl_ctx[0],
-                                               pl_ctx[1])
-                wk_new = wk_new.at[wi].set(wk_l)
-                wv_new = wv_new.at[wi].set(wv_l)
+                x, new = ring_into_slot(lp, x,
+                                        tuple(a[wi] for a in kv_w),
+                                        pl_ctx[0], pl_ctx[1])
+                kv_w = tuple(a.at[wi].set(n) for a, n in zip(kv_w, new))
                 wi += 1
                 continue
             if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slot(lp, x, k_new[gi], v_new[gi],
-                                          c_, s_, mk)
-            k_new = k_new.at[gi].set(k_l)
-            v_new = v_new.at[gi].set(v_l)
+            x, new = layer_into_slot(lp, x, tuple(a[gi] for a in kv_g),
+                                     c_, s_, mk)
+            kv_g = tuple(a.at[gi].set(n) for a, n in zip(kv_g, new))
             gi += 1
     else:
         assert not ring, "ring-window serving requires unrolled params"
@@ -368,25 +450,31 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
-                lp, flag, k_l, v_l = xs
+                lp, flag, kv = xs
                 c_ = jnp.where(flag, cos, pl_ctx[0])
                 s_ = jnp.where(flag, sin, pl_ctx[1])
                 mk = jnp.where(flag, mask, pl_ctx[2])
             else:
-                lp, k_l, v_l = xs  # caches [B, S_max, KV, Dh]
+                lp, kv = xs  # caches [B, S_max, KV, Dh]
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slot(lp, x, k_l, v_l, c_, s_, mk)
-            return x, (k_l, v_l)
+            x, kv = layer_into_slot(lp, x, kv, c_, s_, mk)
+            return x, kv
 
         xs = ((params["layers"],)
               + ((pl_ctx[3],) if pl_ctx is not None else ())
-              + (state.k, state.v))
-        x, (k_new, v_new) = jax.lax.scan(body, x, xs)
+              + (kv_g,))
+        x, kv_g = jax.lax.scan(body, x, xs)
     x_last = jax.lax.dynamic_index_in_dim(x, true_len - 1, axis=1)
     logits = llama.unembed(params, cfg, x_last)[0, 0]
     new_pos = state.pos.at[slot].set(true_len)
-    return logits, SlotState(k=k_new, v=v_new, pos=new_pos,
-                             wk=wk_new, wv=wv_new)
+    return logits, SlotState(
+        k=kv_g[0], v=kv_g[1], pos=new_pos,
+        k_scale=kv_g[2] if quant else None,
+        v_scale=kv_g[3] if quant else None,
+        wk=kv_w[0] if ring else None, wv=kv_w[1] if ring else None,
+        wk_scale=kv_w[2] if ring and quant else None,
+        wv_scale=kv_w[3] if ring and quant else None,
+        kv_bits=state.kv_bits)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -408,7 +496,7 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     S_max = state.k.shape[2]
     positions = jnp.arange(S)[None, :]
     cos, sin = llama.rope_cos_sin(cfg, positions)
-    x = llama.embed_tokens(params, prompts, cfg).astype(state.k.dtype)
+    x = llama.embed_tokens(params, prompts, cfg).astype(_compute_dtype(state))
     mask = llama.causal_mask(S, S_max)[None, None, None]
     vmask = valid[:, None, None, None]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
@@ -423,76 +511,90 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
         g = pm1 - jnp.mod(pm1 - jnp.arange(Wb)[None, :], Wb)
         g_src = jnp.clip(g, 0, S - 1)   # [B, Wb]
 
-    def layer_into_slots(lp, x, k_l, v_l, c_, s_, mk):
-        k_new = jnp.zeros((B, S_max, cfg.num_kv_heads, cfg.head_dim),
-                          state.k.dtype)
-        v_new = jnp.zeros_like(k_new)
-        x, (k_new, v_new) = _slot_layer(
-            lp, cfg, x, c_, s_, (k_new, v_new),
-            jnp.zeros((B,), jnp.int32), mk)
+    quant = state.kv_bits < 16
+
+    def _fresh(T, dtype):
+        z = jnp.zeros((B, T, cfg.num_kv_heads, cfg.head_dim), dtype)
+        if quant:
+            s = jnp.zeros((B, T, cfg.num_kv_heads, 1), jnp.float32)
+            return (z, jnp.copy(z), s, jnp.copy(s))
+        return (z, jnp.copy(z))
+
+    def _scatter(kv_l, new):
         # slot_ids is a permutation -> unique scatter indices; dummy rows
         # write their slot's existing cache back unchanged.
-        k_l = k_l.at[slot_ids].set(jnp.where(vmask, k_new, k_l[slot_ids]))
-        v_l = v_l.at[slot_ids].set(jnp.where(vmask, v_new, v_l[slot_ids]))
-        return x, k_l, v_l
+        return tuple(
+            a.at[slot_ids].set(jnp.where(vmask, n.astype(a.dtype),
+                                         a[slot_ids]))
+            for a, n in zip(kv_l, new))
 
-    def ring_into_slots(lp, x, wk_l, wv_l, c_, s_):
-        ring0 = jnp.zeros((B, Wb, cfg.num_kv_heads, cfg.head_dim),
-                          state.wk.dtype)
+    def layer_into_slots(lp, x, kv_l, c_, s_, mk):
+        kv_new = _fresh(S_max, state.k.dtype)
+        x, kv_new = _slot_layer(lp, cfg, x, c_, s_, kv_new,
+                                jnp.zeros((B,), jnp.int32), mk,
+                                kv_bits=state.kv_bits)
+        return x, _scatter(kv_l, kv_new)
+
+    def ring_into_slots(lp, x, kv_l, c_, s_):
+        ring0 = _fresh(Wb, state.wk.dtype)
         x, (kf, vf) = _slot_layer(
-            lp, cfg, x, c_, s_, (ring0, jnp.copy(ring0)),
+            lp, cfg, x, c_, s_, ring0,
             jnp.zeros((B,), jnp.int32), rmask,
-            ring_window=cfg.sliding_window, ring_prefill=True)
-        gi = g_src[:, :, None, None]
-        ring_k = jnp.take_along_axis(kf, gi, axis=1).astype(wk_l.dtype)
-        ring_v = jnp.take_along_axis(vf, gi, axis=1).astype(wv_l.dtype)
-        wk_l = wk_l.at[slot_ids].set(
-            jnp.where(vmask, ring_k, wk_l[slot_ids]))
-        wv_l = wv_l.at[slot_ids].set(
-            jnp.where(vmask, ring_v, wv_l[slot_ids]))
-        return x, wk_l, wv_l
+            ring_window=cfg.sliding_window, ring_prefill=True,
+            kv_bits=state.kv_bits)
+        gidx = g_src[:, :, None, None]
+        ring_k = jnp.take_along_axis(kf, gidx, axis=1)
+        ring_v = jnp.take_along_axis(vf, gidx, axis=1)
+        if quant:
+            from .engine import _kv_quant
+            rkq, rks = _kv_quant(ring_k, state.kv_bits)
+            rvq, rvs = _kv_quant(ring_v, state.kv_bits)
+            new = (rkq, rvq, rks, rvs)
+        else:
+            new = (ring_k, ring_v)
+        return x, _scatter(kv_l, new)
 
+    kv_g = state.group(window=False)
+    kv_w = state.group(window=True) if ring else None
     if isinstance(params["layers"], (tuple, list)):
-        k_all, v_all = state.k, state.v
         gi2 = wi = 0
         for li, lp in enumerate(params["layers"]):
             sliding = pl_ctx is not None and cfg.layer_types[li] != "global"
             if ring and sliding:
-                x, wk_l, wv_l = ring_into_slots(lp, x, wk_all[wi],
-                                                wv_all[wi], pl_ctx[0],
-                                                pl_ctx[1])
-                wk_all = wk_all.at[wi].set(wk_l)
-                wv_all = wv_all.at[wi].set(wv_l)
+                x, new = ring_into_slots(lp, x,
+                                         tuple(a[wi] for a in kv_w),
+                                         pl_ctx[0], pl_ctx[1])
+                kv_w = tuple(a.at[wi].set(n) for a, n in zip(kv_w, new))
                 wi += 1
                 continue
             if sliding:
                 c_, s_, mk = pl_ctx[0], pl_ctx[1], pl_ctx[2]
             else:
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slots(lp, x, k_all[gi2], v_all[gi2],
-                                           c_, s_, mk)
-            k_all = k_all.at[gi2].set(k_l)
-            v_all = v_all.at[gi2].set(v_l)
+            x, new = layer_into_slots(lp, x, tuple(a[gi2] for a in kv_g),
+                                      c_, s_, mk)
+            kv_g = tuple(a.at[gi2].set(n) for a, n in zip(kv_g, new))
             gi2 += 1
     else:
         assert not ring, "ring-window serving requires unrolled params"
+
         def body(carry, xs):
             x = carry
             if pl_ctx is not None:
-                lp, flag, k_l, v_l = xs
+                lp, flag, kv = xs
                 c_ = jnp.where(flag, cos, pl_ctx[0])
                 s_ = jnp.where(flag, sin, pl_ctx[1])
                 mk = jnp.where(flag, mask, pl_ctx[2])
             else:
-                lp, k_l, v_l = xs
+                lp, kv = xs
                 c_, s_, mk = cos, sin, mask
-            x, k_l, v_l = layer_into_slots(lp, x, k_l, v_l, c_, s_, mk)
-            return x, (k_l, v_l)
+            x, kv = layer_into_slots(lp, x, kv, c_, s_, mk)
+            return x, kv
 
         xs = ((params["layers"],)
               + ((pl_ctx[3],) if pl_ctx is not None else ())
-              + (state.k, state.v))
-        x, (k_all, v_all) = jax.lax.scan(body, x, xs)
+              + (kv_g,))
+        x, kv_g = jax.lax.scan(body, x, xs)
 
     x_last = jax.vmap(
         lambda xr, n: jax.lax.dynamic_index_in_dim(xr, n - 1, axis=0,
@@ -501,8 +603,14 @@ def prefill_slots(params, cfg: ModelConfig, prompts: jnp.ndarray,
     logits = llama.unembed(params, cfg, x_last[:, None])[:, 0]
     new_pos = state.pos.at[slot_ids].set(
         jnp.where(valid, true_lens, state.pos[slot_ids]))
-    return logits, SlotState(k=k_all, v=v_all, pos=new_pos,
-                             wk=wk_all, wv=wv_all)
+    return logits, SlotState(
+        k=kv_g[0], v=kv_g[1], pos=new_pos,
+        k_scale=kv_g[2] if quant else None,
+        v_scale=kv_g[3] if quant else None,
+        wk=kv_w[0] if ring else None, wv=kv_w[1] if ring else None,
+        wk_scale=kv_w[2] if ring and quant else None,
+        wv_scale=kv_w[3] if ring and quant else None,
+        kv_bits=state.kv_bits)
 
 
 @dataclass
@@ -520,7 +628,7 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: ModelConfig, slots: int = 4,
                  max_seq: int = 512, eos_id: Optional[int] = None,
                  kv_dtype=jnp.bfloat16, mesh=None, chunk: int = 1,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None, kv_bits: int = 16):
         # window: sliding-layer ring-buffer length (None = auto:
         # cfg.sliding_window for layer_types models on unrolled params;
         # 0 disables). Sliding layers then cache only W positions/slot.
@@ -545,19 +653,23 @@ class ContinuousBatcher:
         self.slots = slots
         self.eos_id = eos_id
         self.state = init_slots(cfg, cfg.num_layers, slots, max_seq,
-                                dtype=kv_dtype, window=window)
+                                dtype=kv_dtype, window=window,
+                                kv_bits=kv_bits)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from ..parallel import sharding as shd
             sh = NamedSharding(mesh, shd.kv_cache_spec())
-            self.state = SlotState(
-                k=jax.device_put(self.state.k, sh),
-                v=jax.device_put(self.state.v, sh),
-                pos=self.state.pos,
-                wk=None if self.state.wk is None
-                else jax.device_put(self.state.wk, sh),
-                wv=None if self.state.wv is None
-                else jax.device_put(self.state.wv, sh))
+
+            def _put(a):
+                return None if a is None else jax.device_put(a, sh)
+
+            self.state = self.state.replace(
+                k=_put(self.state.k), v=_put(self.state.v),
+                k_scale=_put(self.state.k_scale),
+                v_scale=_put(self.state.v_scale),
+                wk=_put(self.state.wk), wv=_put(self.state.wv),
+                wk_scale=_put(self.state.wk_scale),
+                wv_scale=_put(self.state.wv_scale))
         self.max_seq = max_seq
         self.chunk = max(1, chunk)
         self.queue: List[Request] = []

@@ -217,3 +217,50 @@ def test_batcher_gemma_pattern_matches_generate():
         for rid, ref in zip(ids, refs):
             assert done[rid].out == ref, ("ring", chunk, rid,
                                           done[rid].out, ref)
+
+
+def test_batcher_int8_kv_matches_engine(model):
+    """Quantized (int8) KV cache in the batcher: token-exact vs the
+    engine's quantized-cache generate (same quantize-at-write semantics)."""
+    cfg, params = model
+    prompts = [np.array([3, 14, 15, 92], np.int32),
+               np.array([7, 1], np.int32)]
+    lens = [6, 7]
+    refs = []
+    for p, n in zip(prompts, lens):
+        out, _ = engine.generate(params, cfg, p[None], n, kv_bits=8)
+        refs.append(out[0, len(p):].tolist())
+    for chunk in (1, 4):
+        b = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                              chunk=chunk, kv_bits=8)
+        assert b.state.k.dtype == jnp.int8 and b.state.k_scale is not None
+        ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+        done = b.run()
+        for rid, ref in zip(ids, refs):
+            assert done[rid].out == ref, (chunk, rid, done[rid].out, ref)
+
+
+def test_batcher_int8_kv_ring_gemma():
+    """int8 KV + ring-window caches together in the batcher (Gemma3-style
+    model) vs the engine's quantized ring path."""
+    cfg = get_config("tiny").replace(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_heads=4, num_kv_heads=2, sliding_window=4,
+        rope_local_theta=10000.0,
+        layer_types=("sliding", "sliding", "global", "sliding"))
+    params = engine.unroll_layers(llama.init_params(cfg, jax.random.PRNGKey(13)))
+    prompts = [np.array([3, 1, 4, 1, 5, 9], np.int32),
+               np.array([2, 7], np.int32)]
+    lens = [7, 6]
+    refs = []
+    for p, n in zip(prompts, lens):
+        out, _ = engine.generate(params, cfg, p[None], n, kv_bits=8,
+                                 window=cfg.sliding_window)
+        refs.append(out[0, len(p):].tolist())
+    b = ContinuousBatcher(params, cfg, slots=2, max_seq=64, chunk=4,
+                          kv_bits=8)
+    assert b.state.wk is not None and b.state.wk_scale is not None
+    ids = [b.submit(p, n) for p, n in zip(prompts, lens)]
+    done = b.run()
+    for rid, ref in zip(ids, refs):
+        assert done[rid].out == ref, (rid, done[rid].out, ref)
