@@ -312,14 +312,35 @@ decode_step_slots = partial(jax.jit, static_argnames=("cfg",),
                             donate_argnums=(3,))(_decode_step_impl)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "eos_id"), donate_argnums=(3,))
+def _pick_next(logits, temps, key, top_k: Optional[int]):
+    """Per-slot sampling: greedy where temps[b] == 0, else (top-k)
+    categorical at that slot's temperature (the batcher analog of
+    engine._sample_logits, vectorized over slots)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temps is None:
+        return greedy
+    l = logits / jnp.maximum(temps[:, None], 1e-6)
+    if top_k is not None:
+        kth = jnp.sort(l, axis=-1)[..., -top_k][..., None]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    sampled = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0.0, sampled, greedy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "eos_id", "top_k"),
+         donate_argnums=(3,))
 def decode_chunk_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
                        state: SlotState, active: jnp.ndarray, n: int,
-                       eos_id: Optional[int] = None):
-    """``n`` greedy decode steps for every slot entirely on device — one
-    host round-trip per chunk instead of per token (the batcher analog of
-    ``engine.decode_n_tokens``; on tunnel-style transports the per-dispatch
-    cost dominates single-step batched decode).
+                       eos_id: Optional[int] = None,
+                       temps: Optional[jnp.ndarray] = None,
+                       key: Optional[jnp.ndarray] = None,
+                       top_k: Optional[int] = None):
+    """``n`` decode steps for every slot entirely on device — one host
+    round-trip per chunk instead of per token (the batcher analog of
+    ``engine.decode_n_tokens``; on tunnel-style transports the
+    per-dispatch cost dominates single-step batched decode). Greedy by
+    default; ``temps [B]`` enables per-slot temperature sampling
+    (0 = greedy for that slot) with an optional global top_k.
 
     A slot freezes inside the chunk when it emits ``eos_id`` or reaches the
     cache edge: its ``pos`` stops advancing and its later tokens are marked
@@ -328,19 +349,22 @@ def decode_chunk_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
     Returns (toks [B, n], valid [B, n] bool, state, active_out).
     """
     S_max = state.k.shape[2]
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def body(carry, _):
-        tok, state, act = carry
+        tok, state, act, key = carry
         logits, state = _decode_step_impl(params, cfg, tok, state, act)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        key, k0 = jax.random.split(key)
+        nxt = _pick_next(logits, temps, k0, top_k)
         nxt = jnp.where(act, nxt, tok)
         new_act = act & (state.pos < S_max - 1)
         if eos_id is not None:
             new_act = new_act & (nxt != eos_id)
-        return (nxt, state, new_act), (nxt, act)
+        return (nxt, state, new_act, key), (nxt, act)
 
-    (tok, state, active), (toks, valid) = jax.lax.scan(
-        body, (tok, state, active), None, length=n)
+    (tok, state, active, key), (toks, valid) = jax.lax.scan(
+        body, (tok, state, active, key), None, length=n)
     return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(valid, 0, 1), state, active
 
 
@@ -618,6 +642,7 @@ class Request:
     req_id: int
     prompt: np.ndarray
     max_new_tokens: int
+    temperature: float = 0.0  # 0 = greedy for this request
     out: List[int] = field(default_factory=list)
     done: bool = False
 
@@ -628,7 +653,8 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: ModelConfig, slots: int = 4,
                  max_seq: int = 512, eos_id: Optional[int] = None,
                  kv_dtype=jnp.bfloat16, mesh=None, chunk: int = 1,
-                 window: Optional[int] = None, kv_bits: int = 16):
+                 window: Optional[int] = None, kv_bits: int = 16,
+                 top_k: Optional[int] = None, seed: int = 0):
         # window: sliding-layer ring-buffer length (None = auto:
         # cfg.sliding_window for layer_types models on unrolled params;
         # 0 disables). Sliding layers then cache only W positions/slot.
@@ -676,14 +702,18 @@ class ContinuousBatcher:
         self._retired: List[int] = []
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.cur_tok = np.zeros(slots, np.int32)
+        self.slot_temp = np.zeros(slots, np.float32)
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
         self.finished: Dict[int, Request] = {}
 
-    def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 32,
+               temperature: float = 0.0) -> int:
         rid = self._next_id
         self._next_id += 1
         self.queue.append(Request(rid, np.asarray(prompt).reshape(-1),
-                                  max_new_tokens))
+                                  max_new_tokens, temperature=temperature))
         return rid
 
     @staticmethod
@@ -716,19 +746,42 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(prompts), self.state,
             jnp.asarray(slot_ids), jnp.asarray(true_lens),
             jnp.asarray(valid))
-        toks = np.argmax(np.asarray(logits), axis=-1)
+        toks = self._pick_host(np.asarray(logits, np.float32),
+                               np.asarray([r.temperature for r in reqs]
+                                          + [0.0] * (self.slots - take),
+                                          np.float32))
         for i, req in enumerate(reqs):
             b = int(slot_ids[i])
             tok = int(toks[i])
             req.out.append(tok)
             self.cur_tok[b] = tok
+            self.slot_temp[b] = req.temperature
             self.slot_req[b] = req
+
+    def _pick_host(self, logits: np.ndarray, temps: np.ndarray) -> np.ndarray:
+        """Host-side per-row pick: greedy at temp 0, else top-k categorical
+        (numpy RNG seeded from the batcher key stream)."""
+        out = np.argmax(logits, axis=-1)
+        if not (temps > 0).any():
+            return out
+        self._key, k0 = jax.random.split(self._key)
+        rng = np.random.default_rng(np.asarray(k0, np.uint32))
+        for b in np.nonzero(temps > 0)[0]:
+            l = logits[b] / max(float(temps[b]), 1e-6)
+            if self.top_k is not None:
+                kth = np.sort(l)[-self.top_k]
+                l = np.where(l < kth, -np.inf, l)
+            p = np.exp(l - l.max())
+            p /= p.sum()
+            out[b] = rng.choice(len(p), p=p)
+        return out
 
     def _retire(self, b: int):
         req = self.slot_req[b]
         req.done = True
         self.finished[req.req_id] = req
         self.slot_req[b] = None
+        self.slot_temp[b] = 0.0  # freed slots sample greedily (fast path)
         self._retired.append(b)
 
     def _flush_retired(self):
@@ -750,7 +803,8 @@ class ContinuousBatcher:
         logits, self.state = decode_step_slots(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
             jnp.asarray(active))
-        toks = np.argmax(np.asarray(logits), axis=-1)
+        toks = self._pick_host(np.asarray(logits, np.float32),
+                               self.slot_temp)
         pos_host = np.asarray(self.state.pos)  # one sync, not one per slot
         for b in range(self.slots):
             req = self.slot_req[b]
@@ -774,9 +828,14 @@ class ContinuousBatcher:
         active = np.array([r is not None for r in self.slot_req])
         if not active.any():
             return bool(self.queue)
+        temps, kc = None, None
+        if (self.slot_temp > 0).any():
+            self._key, kc = jax.random.split(self._key)
+            temps = jnp.asarray(self.slot_temp)
         toks, valid, self.state, _ = decode_chunk_slots(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
-            jnp.asarray(active), self.chunk, self.eos_id)
+            jnp.asarray(active), self.chunk, self.eos_id,
+            temps, kc, self.top_k)
         # one host fetch for all three (separate np.asarray calls are one
         # tunnel round trip each)
         toks, valid, pos_host = jax.device_get(

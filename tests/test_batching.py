@@ -264,3 +264,23 @@ def test_batcher_int8_kv_ring_gemma():
     done = b.run()
     for rid, ref in zip(ids, refs):
         assert done[rid].out == ref, (rid, done[rid].out, ref)
+
+
+def test_batcher_sampled_requests(model):
+    """Per-request temperature: greedy requests stay token-exact while a
+    sampled request in the same batch produces valid (finite-vocab)
+    output; temp=0 everywhere matches the all-greedy batcher."""
+    cfg, params = model
+    g = np.array([3, 14, 15, 92], np.int32)
+    s = np.array([7, 1], np.int32)
+    ref, _ = engine.generate(params, cfg, g[None], 6, kv_dtype=jnp.float32)
+    for chunk in (1, 4):
+        b = ContinuousBatcher(params, cfg, slots=2, max_seq=64,
+                              kv_dtype=jnp.float32, chunk=chunk,
+                              top_k=8, seed=3)
+        rg = b.submit(g, 6)                      # greedy
+        rs = b.submit(s, 6, temperature=0.9)     # sampled
+        done = b.run()
+        assert done[rg].out == ref[0, len(g):].tolist(), (chunk, done[rg].out)
+        assert len(done[rs].out) == 6
+        assert all(0 <= t < cfg.vocab_size for t in done[rs].out)
