@@ -491,6 +491,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
              kv_dtype=jnp.bfloat16, kv_bits: int = 16, r3: bool = False,
              seed: int = 0, kv_sharding=None, window: int = 0,
              prefill_chunk: Optional[int] = None,
+             eos_id: Optional[int] = None,
              ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Generate loop with gpt-fast-style metrics (tok/s; reference
     generate.py:145-186, 374-381). Decode runs device-side in
@@ -539,9 +540,23 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
             temperature, top_k)
         out.append(np.asarray(toks))
         remaining -= n
+        if eos_id is not None:
+            # stop at the chunk boundary once every row has emitted eos
+            # (HF generate semantics; per-row truncation happens below)
+            seen = np.concatenate(out, axis=1)
+            if bool(((seen == eos_id).any(axis=1)).all()):
+                break
     t_decode = time.perf_counter() - t0
 
     tokens = np.concatenate(out, axis=1)  # [B, new]
+    if eos_id is not None:
+        # mask everything after the first eos per row with eos (rows keep a
+        # static width; callers slice at the first eos)
+        hit = tokens == eos_id
+        first = np.where(hit.any(axis=1), hit.argmax(axis=1),
+                         tokens.shape[1] - 1)
+        after = np.arange(tokens.shape[1])[None, :] > first[:, None]
+        tokens = np.where(after, eos_id, tokens)
     metrics = {
         "prefill_s": t_prefill,
         "decode_s": t_decode,

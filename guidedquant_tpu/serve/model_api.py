@@ -116,7 +116,8 @@ class QuantizedCausalLM:
     def generate(self, prompt_ids: np.ndarray, max_new_tokens: int = 100,
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  kv_bits: int = 16, r3: bool = False, seed: int = 0,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None,
+                 eos_id: Optional[int] = None):
         """``window``: sliding-layer ring-buffer size for cfg.layer_types
         models (None = auto: cfg.sliding_window when the model has sliding
         layers and the params are unrolled; 0 disables)."""
@@ -134,7 +135,8 @@ class QuantizedCausalLM:
         return engine.generate(params, self.cfg, prompt_ids, max_new_tokens,
                                temperature=temperature, top_k=top_k,
                                kv_bits=kv_bits, r3=r3, seed=seed,
-                               kv_sharding=kv_sharding, window=window)
+                               kv_sharding=kv_sharding, window=window,
+                               eos_id=eos_id)
 
     def forward(self, tokens: np.ndarray):
         from ..models import llama

@@ -118,3 +118,28 @@ def test_trellis_family_engine_decode():
     toks2, _, _ = engine.decode_n_tokens(engine.unroll_layers(params), cfg,
                                          jnp.zeros((1,), jnp.int32), state2, 4)
     assert np.array_equal(np.asarray(toks), np.asarray(toks2))
+
+
+def test_generate_eos_stop():
+    """generate(eos_id=...) stops decoding once every row emits eos and
+    pads the remainder with eos (HF generate semantics)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from guidedquant_tpu.models import llama, get_config
+    from guidedquant_tpu.serve import engine
+
+    cfg = get_config("tiny").replace(vocab_size=96, hidden_size=32,
+                                     intermediate_size=64, num_layers=2,
+                                     num_heads=4, num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    p = np.array([[3, 14, 15]], np.int32)
+    ref, _ = engine.generate(params, cfg, p, 8)
+    eos = int(ref[0, p.shape[1] + 1])  # 2nd generated token
+    out, _ = engine.generate(params, cfg, p, 8, eos_id=eos)
+    gen = out[0, p.shape[1]:]
+    first = int(np.argmax(gen == eos))
+    assert gen[first] == eos
+    assert (gen[first:] == eos).all()
+    np.testing.assert_array_equal(gen[:first + 1], ref[0, p.shape[1]:
+                                                       p.shape[1] + first + 1])
