@@ -10,6 +10,7 @@ Cache-keyed and layer-resumable like the reference's ``check_exist`` skips.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -115,6 +116,25 @@ def quantize_qtip(
     if cb is None:
         cb = BitshiftCodebook(L=L, K=K, V=V, tlut_bits=tlut_bits,
                               decode_mode=decode_mode)
+    # Pin the codebook table to the layer cache: completed layers were
+    # Viterbi-encoded against a specific tlut, and table construction
+    # (make_kmeans_tlut) is not bit-stable across code versions. On
+    # resume the stored table replaces the freshly built one, so both
+    # the remaining layers and the pack stage stay self-consistent.
+    if cb.tlut is not None:
+        tlut_path = os.path.join(quantized_path, "tlut.npz")
+        if os.path.exists(tlut_path):
+            stored = cache_util.load_npz_dict(tlut_path)["tlut"]
+            if not np.allclose(stored, cb.tlut):
+                logger.info("qtip: resuming with the cache's pinned tlut "
+                            "(differs from the freshly built table)")
+                cb = BitshiftCodebook(L=cb.L, K=cb.K, V=cb.V,
+                                      tlut_bits=cb.tlut_bits,
+                                      decode_mode=cb.decode_mode,
+                                      tlut=stored)
+        else:
+            os.makedirs(quantized_path, exist_ok=True)
+            cache_util.save_npz_dict(tlut_path, {"tlut": cb.tlut})
     run_qtip_stage(params, cfg, hessians_path, quantized_path, cb,
                    td_x, td_y, scale_override, sigma_reg,
                    ft_steps=ft_steps, ft_lr=ft_lr,

@@ -243,7 +243,6 @@ def _decode_step_impl(params, cfg: ModelConfig, tok: jnp.ndarray,
     mask = t_mask[:, None, None, :, :]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
     ring = state.wk is not None
-    wk_new, wv_new = state.wk, state.wv
     if ring:
         rmask = _ring_mask(state.pos, positions, state.wk.shape[2],
                            cfg.sliding_window)
@@ -349,6 +348,10 @@ def decode_chunk_slots(params, cfg: ModelConfig, tok: jnp.ndarray,
     Returns (toks [B, n], valid [B, n] bool, state, active_out).
     """
     S_max = state.k.shape[2]
+    if temps is not None and key is None:
+        raise ValueError("decode_chunk_slots: sampling (temps) requires an "
+                         "explicit PRNG key — a silent default would replay "
+                         "the same stream every chunk")
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -395,7 +398,6 @@ def prefill_slot(params, cfg: ModelConfig, prompt: jnp.ndarray,
     mask = llama.causal_mask(S, S_max)[None, None, None]
     pl_ctx = _layer_ropes_masks(cfg, positions, S_max)
     ring = state.wk is not None
-    wk_new, wv_new = state.wk, state.wv
     if ring:
         Wb = state.wk.shape[2]
         rmask = _ring_mask(jnp.zeros((1,), jnp.int32), positions, Wb,
@@ -704,7 +706,8 @@ class ContinuousBatcher:
         self.cur_tok = np.zeros(slots, np.int32)
         self.slot_temp = np.zeros(slots, np.float32)
         self.top_k = top_k
-        self._key = jax.random.PRNGKey(seed)
+        self._key = jax.random.PRNGKey(seed)       # device stream (chunks)
+        self._host_rng = np.random.default_rng(seed + 1)  # per-token path
         self._next_id = 0
         self.finished: Dict[int, Request] = {}
 
@@ -764,8 +767,7 @@ class ContinuousBatcher:
         out = np.argmax(logits, axis=-1)
         if not (temps > 0).any():
             return out
-        self._key, k0 = jax.random.split(self._key)
-        rng = np.random.default_rng(np.asarray(k0, np.uint32))
+        rng = self._host_rng  # host stream: no per-step device dispatches
         for b in np.nonzero(temps > 0)[0]:
             l = logits[b] / max(float(temps[b]), 1e-6)
             if self.top_k is not None:

@@ -533,6 +533,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     out = [np.asarray(tok)[:, None]]
     t0 = time.perf_counter()
     remaining = max_new_tokens - 1
+    n_decoded = 0
     while remaining > 0:
         n = min(DECODE_CHUNK, remaining)
         toks, tok, state, key = decode_n_tokens_sampled(
@@ -540,6 +541,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
             temperature, top_k)
         out.append(np.asarray(toks))
         remaining -= n
+        n_decoded += n
         if eos_id is not None:
             # stop at the chunk boundary once every row has emitted eos
             # (HF generate semantics; per-row truncation happens below)
@@ -560,6 +562,7 @@ def generate(params, cfg: ModelConfig, prompt: np.ndarray,
     metrics = {
         "prefill_s": t_prefill,
         "decode_s": t_decode,
-        "decode_tok_s": (max_new_tokens - 1) * B / max(t_decode, 1e-9),
+        # tokens actually decoded (eos early-stop can end the loop early)
+        "decode_tok_s": n_decoded * B / max(t_decode, 1e-9),
     }
     return np.concatenate([prompt, tokens], axis=1), metrics

@@ -84,6 +84,7 @@ def w8_matmul(x, words, srow, mrow, tile_n=512, block_k=0, interpret=False):
     n_ktiles = K_pad // TK
     if block_k == 0:
         block_k = n_ktiles if n_ktiles * TK <= 4096 else 1
+    assert n_ktiles % block_k == 0, (n_ktiles, block_k)
     n_jsteps = n_ktiles // block_k
     sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
     return pl.pallas_call(
