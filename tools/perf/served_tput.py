@@ -25,6 +25,7 @@ SLOTS = [int(s) for s in (sys.argv[1] if len(sys.argv) > 1
                           else "8,16,32").split(",")]
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 NEW_TOK = int(os.environ.get("NEW_TOK", "96"))
+KV_BITS = int(os.environ.get("SERVED_KV_BITS", "16"))
 
 GEOM = os.environ.get("SERVED_GEOM", "1b")
 if GEOM == "8b":
@@ -51,7 +52,7 @@ for slots in SLOTS:
 
     # warm-up (compile prefill + chunk step at this slot count)
     b = ContinuousBatcher(params, cfg, slots=slots, max_seq=256,
-                          chunk=CHUNK)
+                          chunk=CHUNK, kv_bits=KV_BITS)
     for p in prompts[:slots]:
         b.submit(p, 8)
     b.run()
@@ -60,7 +61,7 @@ for slots in SLOTS:
     dt, tot = 1e9, 0
     for _ in range(3):
         b = ContinuousBatcher(params, cfg, slots=slots, max_seq=256,
-                              chunk=CHUNK)
+                              chunk=CHUNK, kv_bits=KV_BITS)
         for p in prompts:
             b.submit(p, NEW_TOK)
         t0 = time.perf_counter()
@@ -68,5 +69,5 @@ for slots in SLOTS:
         d = time.perf_counter() - t0
         tot = sum(len(r.out) for r in done.values())
         dt = min(dt, d)
-    print(f"slots={slots} chunk={CHUNK}: {tot} tokens, best {dt:.2f}s "
+    print(f"slots={slots} chunk={CHUNK} kv{KV_BITS}: {tot} tokens, best {dt:.2f}s "
           f"-> {tot/dt:.0f} served tok/s/chip", flush=True)
