@@ -103,3 +103,18 @@ def test_chunked_prefill_matches_unchunked():
         out_b, _ = engine.generate(params, cfg, prompt, 8, max_seq=40,
                                    window=window, prefill_chunk=4)
         np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_ring_far_position_indexing():
+    """Ring indexing at positions far beyond the window (pos >> W): seed
+    both caches from the same prefix, jump pos deep into the timeline by
+    replaying tokens, and check ring decode still matches dense."""
+    cfg = _gemma_cfg()
+    params = engine.unroll_layers(llama.init_params(cfg, jax.random.PRNGKey(4)))
+    prompt = np.array([[3, 1, 4, 1]], np.int32)
+    n = 40  # decode far past W=4 (several full ring wraps)
+    lo_d, tk_d, _ = _run(params, cfg, prompt, n, 64)
+    lo_r, tk_r, st = _run(params, cfg, prompt, n, 64,
+                          window=cfg.sliding_window)
+    assert int(st.pos) == 4 + n
+    np.testing.assert_array_equal(tk_d, tk_r)
