@@ -101,3 +101,26 @@ def test_tp_sharded_ring_window_decode():
         got_l, got_t = run(sp, kv_shard)
     np.testing.assert_allclose(got_l, ref_l, atol=2e-4)
     np.testing.assert_array_equal(got_t, ref_t)
+
+
+def test_70b_geometry_sharded_quantized_decode():
+    """Quantized (affine 2-bit) decode at real 70B per-layer dimensions,
+    tp=8-sharded packed operands + KV — logits match the unsharded run
+    (the serving-side divisibility/layout proof for the 70B target)."""
+    from __graft_entry__ import _build_quantized_llama
+
+    cfg = get_config("llama-3.1-70b").replace(
+        num_layers=1, vocab_size=512, max_seq_len=32)
+    qparams = _build_quantized_llama(cfg, 0, bits=2, family="affine",
+                                     dtype=jnp.float32)
+    prompt = np.array([[5, 9, 3, 77]], dtype=np.int32)
+    ref1, ref2 = _decode_logits(qparams, cfg, prompt)
+
+    mesh = make_mesh(8, shape={"dp": 1, "fsdp": 1, "tp": 8})
+    sp = sharding.shard_params(
+        mesh, qparams, sharding.quantized_param_specs(cfg, qparams))
+    kv_shard = NamedSharding(mesh, sharding.kv_cache_spec())
+    with mesh:
+        got1, got2 = _decode_logits(sp, cfg, prompt, mesh, kv_shard)
+    np.testing.assert_allclose(got1, ref1, atol=2e-3)
+    np.testing.assert_allclose(got2, ref2, atol=2e-3)
