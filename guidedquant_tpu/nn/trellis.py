@@ -182,23 +182,23 @@ def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops import trellis_kernel as tk
         assert w.decode_mode in tk.KERNEL_MODES, w.decode_mode
         if tk.supported(t, w.kwords, w.decode_mode):
-            *lead, K = t.shape
+            *lead, nin = t.shape
             B = 1
             for s in lead:
                 B *= s
-            y = tk.trellis_matmul(t.reshape(B, K), w.kwords, w.decode_mode,
-                                  cycle=w.cycle, L=w.L_bits)
+            y = tk.trellis_matmul(t.reshape(B, nin), w.kwords, w.decode_mode,
+                                  cycle=w.cycle, L=w.L_bits, K=w.K)
             y = y.reshape(*lead, m).astype(x.dtype)
         else:
             import jax as _jax
             if _jax.default_backend() in ("tpu", "axon"):
                 hatW = tk.trellis_dequant(w.kwords, w.decode_mode,
-                                          cycle=w.cycle, L=w.L_bits,
+                                          cycle=w.cycle, L=w.L_bits, K=w.K,
                                           dtype=x.dtype)
             else:
                 hatW = tk.decode_kwords_traceable(
                     w.kwords, m, n, w.decode_mode,
-                    cycle=w.cycle, L=w.L_bits).astype(x.dtype)
+                    cycle=w.cycle, L=w.L_bits, K=w.K).astype(x.dtype)
             y = jnp.einsum("...k,nk->...n", t, hatW)
     else:
         if w.hatW is not None:
@@ -230,7 +230,7 @@ def effective_dense_weight(w: TrellisLinear) -> np.ndarray:
         from ..ops.trellis_kernel import decode_kwords_traceable
         hatW = np.asarray(decode_kwords_traceable(
             jnp.asarray(w.kwords), m, n, w.decode_mode, cycle=w.cycle,
-            L=w.L_bits), np.float32)
+            L=w.L_bits, K=w.K), np.float32)
     # W_eff = diag(SV*s) . Mm hatW Mn^T . diag(SU)
     A = np.asarray(matmul_hadU(jnp.asarray(hatW), axis=0))   # Mm hatW
     B = np.asarray(matmul_hadU(jnp.asarray(A), axis=1))      # ... Mn^T

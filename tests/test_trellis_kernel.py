@@ -20,15 +20,15 @@ def cb(request):
     return BitshiftCodebook(L=16, K=2, V=1, decode_mode=request.param)
 
 
-def _random_cyclic_states(n_seq, cycle, rng):
-    """Valid cyclic state sequences from random 2*cycle-bit streams."""
-    nbits = 2 * cycle
+def _random_cyclic_states(n_seq, cycle, rng, K=2):
+    """Valid cyclic state sequences from random K*cycle-bit streams."""
+    nbits = K * cycle
     bits = rng.integers(0, 2, size=(n_seq, nbits), dtype=np.uint8)
     ext = np.concatenate([bits, bits[:, :16]], axis=1)
     states = np.zeros((n_seq, cycle), np.int32)
     w16 = (1 << np.arange(15, -1, -1))
     for r in range(cycle):
-        states[:, r] = (ext[:, 2 * r:2 * r + 16] * w16).sum(1)
+        states[:, r] = (ext[:, K * r:K * r + 16] * w16).sum(1)
     return states
 
 
@@ -108,6 +108,79 @@ def test_ldlq_col_and_kernel_e2e(cb, rng):
     assert err_col < 1.0
     # same sequence length (32 here) as a 2x16 tile -> comparable quality
     assert err_col < err256 * 1.35 + 0.02, (err_col, err256)
+
+
+@pytest.mark.parametrize("K,mode", [(3, "2mad"), (3, "tpu2u"), (4, "2mad"),
+                                    (4, "tpu2u")])
+def test_trellis_matmul_k34_interpret_vs_oracle(K, mode, rng):
+    """K=3 (phase-plane layout) and K=4 (uniform 8/word) kernels vs the
+    codebook-lut oracle — the reference kernel envelope K in {2,3,4}
+    (qtip/lib/utils/kernel_check.py:1-14)."""
+    cbk = BitshiftCodebook(L=16, K=K, V=1, decode_mode=mode)
+    m_, n_, cycle = 128, 256, 64 if K != 3 else 64
+    states = _random_cyclic_states((m_ // cycle) * n_, cycle, rng, K=K)
+    Qidxs = (states.reshape(m_ // cycle, n_, cycle)
+             .transpose(0, 2, 1).reshape(m_, n_))
+    words = tk.states_to_kwords(cbk, Qidxs, cycle=cycle)
+    if K == 3:
+        assert words.shape == (3, m_ // 32, n_)
+    else:
+        assert words.shape == (m_ * K // 32, n_)
+
+    back = tk.unpack_kwords_np(words, m_, n_, cycle=cycle, K=K)
+    np.testing.assert_array_equal(back, Qidxs)
+
+    dense = tk.decode_kwords_dense_np(cbk, words, m_, n_, cycle=cycle)
+    tr = np.asarray(tk.decode_kwords_traceable(
+        jnp.asarray(words), m_, n_, mode, cycle=cycle, K=K))
+    np.testing.assert_allclose(tr, dense, atol=1e-6)
+
+    x = rng.normal(size=(4, n_)).astype(np.float32)
+    y_ref = x @ dense.T
+    y = np.asarray(tk.trellis_matmul(
+        jnp.asarray(x), jnp.asarray(words), mode,
+        cycle=cycle, tile_k=128, K=K, interpret=True))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(y_ref).max())
+
+    d = np.asarray(tk.trellis_dequant(
+        jnp.asarray(words), mode, cycle=cycle, tile_k=128, K=K,
+        dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(d, dense, atol=1e-6)
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_ldlq_col_kernel_e2e_k34(K, rng):
+    """LDLQ (col sequences) -> kwords -> traceable decode reproduces the
+    solver's hatWr exactly at K=3/4, and apply_trellis dispatch agrees."""
+    from guidedquant_tpu.nn.trellis import TrellisLinear, apply_trellis
+
+    cbk = BitshiftCodebook(L=16, K=K, V=1, decode_mode="2mad")
+    m_, n_, cycle = 64, 64, 32 if K != 3 else 32
+    W = rng.normal(size=(m_, n_)).astype(np.float32)
+    A = rng.normal(size=(n_, 2 * n_)).astype(np.float32)
+    H = A @ A.T / (2 * n_) + 0.1 * np.eye(n_, dtype=np.float32)
+    H = regularize_H(H, 0.01)
+    L, _ = block_LDL(H, 16)
+    L[np.diag_indices(n_)] = 0.0
+
+    hatWr, Qidxs = ldlq(W, L, cbk, seq_mode="col", cycle=cycle)
+    words = tk.states_to_kwords(cbk, Qidxs, cycle=cycle)
+    dense = tk.decode_kwords_dense_np(cbk, words, m_, n_, cycle=cycle)
+    np.testing.assert_allclose(dense, hatWr, atol=1e-6)
+
+    w_k = TrellisLinear(
+        trellis=jnp.zeros((1, 1), jnp.int16),
+        SU=jnp.asarray(rng.choice([-1.0, 1.0], size=n_).astype(np.float32)),
+        SV=jnp.asarray(rng.choice([-1.0, 1.0], size=m_).astype(np.float32)),
+        Wscale=jnp.asarray(np.float32(1.3)),
+        kwords=jnp.asarray(words), L_bits=16, K=K, V=1,
+        decode_mode="2mad", cycle=cycle, out_features=m_, in_features=n_)
+    w_d = w_k.replace(kwords=None, hatW=jnp.asarray(dense))
+    x = jnp.asarray(rng.normal(size=(3, n_)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(apply_trellis(w_k, x)),
+                               np.asarray(apply_trellis(w_d, x)),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_apply_trellis_kwords_dispatch(cb, rng):

@@ -47,8 +47,28 @@ def load_params(path):
     return params
 
 
+def model_preset(name, seq):
+    """Local validation-model geometries (see REALMODEL.md)."""
+    from guidedquant_tpu.models.config import ModelConfig
+    presets = {
+        # byte-vocab 27M (round-1/2 validation target)
+        "pybyte-27m": dict(vocab_size=256, hidden_size=512,
+                           intermediate_size=1536, num_layers=8, num_heads=8),
+        # word-vocab (16k BPE) ~190M — the guidance fair-trial model
+        # (VERDICT r2 next 3): big enough for a non-flat saliency spectrum.
+        "pyword-190m": dict(vocab_size=16384, hidden_size=1024,
+                            intermediate_size=2816, num_layers=12,
+                            num_heads=16),
+    }
+    kw = presets[name]
+    return ModelConfig(
+        name=name, num_kv_heads=kw["num_heads"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_seq_len=seq, tie_word_embeddings=False, **kw)
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="pybyte-27m")
     p.add_argument("--corpus", default="cache/realmodel/corpus.npz")
     p.add_argument("--out", default="cache/realmodel/ckpt.npz")
     p.add_argument("--steps", type=int, default=12000)
@@ -63,13 +83,8 @@ def main():
     import jax.numpy as jnp
     import optax
     from guidedquant_tpu.models import llama
-    from guidedquant_tpu.models.config import ModelConfig
 
-    cfg = ModelConfig(
-        name="pybyte-27m", vocab_size=256, hidden_size=512,
-        intermediate_size=1536, num_layers=8, num_heads=8, num_kv_heads=8,
-        rope_theta=10000.0, rms_norm_eps=1e-5, max_seq_len=args.seq,
-        tie_word_embeddings=False)
+    cfg = model_preset(args.model, args.seq)
 
     z = np.load(args.corpus)
     train, val = z["train"], z["val"]
