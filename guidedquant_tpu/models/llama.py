@@ -410,8 +410,13 @@ def layer_rope_mask(cfg: ModelConfig, positions: jnp.ndarray,
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: Optional[jnp.ndarray] = None,
             mask: Optional[jnp.ndarray] = "causal",
-            ) -> jnp.ndarray:
-    """Full forward over stacked layers with lax.scan. tokens [B, S] -> logits [B, S, V]."""
+            remat: bool = False) -> jnp.ndarray:
+    """Full forward over stacked layers with lax.scan. tokens [B, S] -> logits [B, S, V].
+
+    remat=True checkpoints each scan step (training memory: only the [B,S,d]
+    residual carry is saved per layer; attention scores/FFN intermediates are
+    recomputed in the backward pass).
+    """
     B, S = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
@@ -426,12 +431,13 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             lp, c, s_, mk = xs
             y, _ = decoder_layer(lp, cfg, carry, c, s_, mk)
             return y, None
-        x, _ = lax.scan(body, x, (params["layers"], cos, sin, mask_))
+        xs = (params["layers"], cos, sin, mask_)
     else:
         def body(carry, lp):
             y, _ = decoder_layer(lp, cfg, carry, cos, sin, mask_)
             return y, None
-        x, _ = lax.scan(body, x, params["layers"])
+        xs = params["layers"]
+    x, _ = lax.scan(jax.checkpoint(body) if remat else body, x, xs)
     return unembed(params, cfg, x)
 
 

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE_WORDS = 128  # W: words per lane-tile (one full lane register)
-KERNEL_BITS = (1, 2, 4)  # bit-widths with a fused exact-poly kernel
+KERNEL_BITS = (1, 2, 3, 4)  # bit-widths with a fused exact-poly kernel
 
 # Bit-widths without a native 32/bits word packing are composed of
 # power-of-two *fields*, MSB-first (any-precision property preserved:
@@ -181,6 +181,9 @@ def lut_to_poly(lut: np.ndarray, bits: int) -> np.ndarray:
     """[N, 2^bits] LUT values -> [N, 2^bits] polynomial coefficients.
 
     bits <= 2: monomial basis in c (Vandermonde solve).
+    bits == 3: c = 2*hi + lo (hi: the 2-bit parent code, lo: the extra
+               bit-plane — matching the kernel's (2, 1) field split);
+               w = sum_{i,j} A[2i+j] hi^i lo^j  (A = V4^-1 L V2^-T).
     bits == 4: c = 4*hi + lo; coefficients A with
                w = sum_{i,j} A[4i+j] hi^i lo^j  (A = V^-1 L V^-T).
     Exact at every code value; computed in f64.
@@ -191,6 +194,13 @@ def lut_to_poly(lut: np.ndarray, bits: int) -> np.ndarray:
         V = np.vander(np.arange(C, dtype=np.float64), C, increasing=True)
         coef = np.linalg.solve(V[None].repeat(1, axis=0)[0], lut64.T).T
         return np.ascontiguousarray(coef, dtype=np.float32)
+    if bits == 3:
+        V4 = np.vander(np.arange(4, dtype=np.float64), 4, increasing=True)
+        V2 = np.vander(np.arange(2, dtype=np.float64), 2, increasing=True)
+        Vi4, Vi2 = np.linalg.inv(V4), np.linalg.inv(V2)
+        L = lut64.reshape(N, 4, 2)  # [hi, lo]
+        A = np.einsum("ih,nhl,jl->nij", Vi4, L, Vi2)
+        return np.ascontiguousarray(A.reshape(N, 8), dtype=np.float32)
     if bits == 4:
         V = np.vander(np.arange(4, dtype=np.float64), 4, increasing=True)
         Vi = np.linalg.inv(V)
@@ -208,6 +218,14 @@ def poly_eval_np(coef: np.ndarray, codes: np.ndarray, bits: int) -> np.ndarray:
         for i in range(coef.shape[1] - 1, -1, -1):
             out = out * c + coef[:, i][:, None]
         return out
+    if bits == 3:
+        hi, lo = np.float64(codes >> 1), np.float64(codes & 1)
+        A = coef.reshape(-1, 4, 2)
+        g = np.zeros_like(c)
+        for i in range(3, -1, -1):
+            gi = A[:, i, 0][:, None] + A[:, i, 1][:, None] * lo
+            g = g * hi + gi
+        return g
     hi, lo = np.float64(codes >> 2), np.float64(codes & 3)
     A = coef.reshape(-1, 4, 4)
     g = np.zeros_like(c)
@@ -255,6 +273,17 @@ def _poly_resolve(codes, coef_ref, bits: int):
         for i in range(C - 2, -1, -1):
             w = w * cf + coef_ref[:, i][:, None]
         return w
+    if bits == 3:
+        # (2, 1) tensor-product basis: hi = 2-bit parent code, lo = extra
+        # plane. w = Horner_hi(A[:, i, 0] + A[:, i, 1] * lo); ~7 broadcast
+        # FMA passes vs 15 for the 4-bit (2, 2) form.
+        hi = (codes >> 1).astype(jnp.float32)
+        lo = (codes & 1).astype(jnp.float32)
+        w = None
+        for i in range(3, -1, -1):
+            gi = coef_ref[:, 2 * i][:, None] + coef_ref[:, 2 * i + 1][:, None] * lo
+            w = gi if w is None else w * hi + gi
+        return w
     if bits == 4:
         hi = (codes >> 2).astype(jnp.float32)
         lo = (codes & 3).astype(jnp.float32)
@@ -268,22 +297,26 @@ def _poly_resolve(codes, coef_ref, bits: int):
     raise NotImplementedError
 
 
-def _lut_matmul_kernel(x_ref, w_ref, coef_ref, o_ref, *, bits: int,
-                      tile_n: int, tile_k: int):
+def _lut_matmul_kernel(x_ref, coef_ref, *rest, bits: int,
+                       tile_n: int, tile_k: int):
     """Grid (N/tile_n, K_pad/tile_k); accumulates over the k axis.
 
     x_ref    [B, tile_k]      bf16 (zero-padded past K)
-    w_ref    [tile_n, W]      int32 lane-tiled words
+    rest[:-1]                 per-field int32 lane-tiled words
+                              [tile_n, W_f] (one array for 1/2/4-bit,
+                              (2-bit, 1-bit) pair for the 3-bit kernel)
     coef_ref [tile_n, 2^bits] f32 polynomial coefficients
     o_ref    [B, tile_n]      f32 accumulator
     """
+    o_ref = rest[-1]
+    w_refs = rest[:-1]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    codes = _decode_codes(w_ref, bits, tile_k)
+    codes = _decode_fields(w_refs, bits, tile_k)
     w = _poly_resolve(codes, coef_ref, bits).astype(jnp.bfloat16)
     o_ref[:] += lax.dot_general(
         x_ref[:], w, (((1,), (1,)), ((), ())),
@@ -291,19 +324,28 @@ def _lut_matmul_kernel(x_ref, w_ref, coef_ref, o_ref, *, bits: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "tile_n"))
-def lut_matmul_tiled(x: jnp.ndarray, words: jnp.ndarray, coef: jnp.ndarray,
+def lut_matmul_tiled(x: jnp.ndarray, words, coef: jnp.ndarray,
                      bits: int, tile_n: int = 256) -> jnp.ndarray:
     """y[B, N] = x[B, K_pad] @ decode(words)^T with per-row poly coefficients.
 
-    words: [N, K_pad*bits/32] lane-tiled; coef: [N, 2^bits] from lut_to_poly.
+    words: [N, K_pad*bits/32] lane-tiled (or the per-field tuple from
+    pack_lane_tiled for the composite 3-bit width);
+    coef: [N, 2^bits] from lut_to_poly.
     """
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
+    fs = FIELD_SPLIT[bits]
     B, K_pad = x.shape
-    N = words.shape[0]
+    N = words_t[0].shape[0]
     TK = tile_k_for(bits)
-    n_ktiles = words.shape[1] // LANE_WORDS
+    Ws = [TK * f // 32 for f in fs]
+    n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)
     assert N % tile_n == 0, (N, tile_n)
     C = 2 ** bits
+
+    def _wspec(W_f):
+        return pl.BlockSpec((tile_n, W_f), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
 
     grid = (N // tile_n, n_ktiles)
     out = pl.pallas_call(
@@ -313,11 +355,9 @@ def lut_matmul_tiled(x: jnp.ndarray, words: jnp.ndarray, coef: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((B, TK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, LANE_WORDS), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + [_wspec(W_f) for W_f in Ws],
         out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
@@ -325,7 +365,7 @@ def lut_matmul_tiled(x: jnp.ndarray, words: jnp.ndarray, coef: jnp.ndarray,
             flops=2 * B * N * K_pad + (C + 2) * N * K_pad,
             bytes_accessed=N * K_pad * bits // 8 + N * C * 4 + B * K_pad * 2,
             transcendentals=0),
-    )(x.astype(jnp.bfloat16), words, coef.astype(jnp.float32))
+    )(x.astype(jnp.bfloat16), coef.astype(jnp.float32), *words_t)
     return out
 
 
@@ -736,17 +776,20 @@ def lut_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, gpoly: jnp.ndarray,
     return y.reshape(*lead, -1).astype(x.dtype)
 
 
-def lut_matmul(x: jnp.ndarray, words: jnp.ndarray, coef: jnp.ndarray,
+def lut_matmul(x: jnp.ndarray, words, coef: jnp.ndarray,
                bits: int, out_features: Optional[int] = None) -> jnp.ndarray:
-    """Shape-flexible wrapper: x [..., K], words [N, K_pad*bits/32]."""
+    """Shape-flexible wrapper: x [..., K], words [N, K_pad*bits/32] (or the
+    per-field tuple for the composite 3-bit width)."""
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
     *lead, K = x.shape
     B = int(np.prod(lead)) if lead else 1
     TK = tile_k_for(bits)
-    K_pad = words.shape[1] // LANE_WORDS * TK
+    W0 = TK * FIELD_SPLIT[bits][0] // 32
+    K_pad = words_t[0].shape[1] // W0 * TK
     x2 = x.reshape(B, K)
     if K_pad != K:
         x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
-    N = words.shape[0]
+    N = words_t[0].shape[0]
     tile_n = 256 if N % 256 == 0 else 128 if N % 128 == 0 else N
     y = lut_matmul_tiled(x2, words, coef, bits, tile_n=tile_n)
     if out_features is not None and out_features != N:

@@ -1,0 +1,112 @@
+"""Real multi-PROCESS runtime init (VERDICT r2 weak 8).
+
+Everything else multi-chip in this suite runs on a single-process virtual
+8-device CPU mesh; this test spawns TWO OS processes that connect through
+``parallel.distributed.init_distributed`` (the ``jax.distributed.initialize``
+branch, distributed.py:49-54 — the analog of the reference's
+``dist.init_process_group(nccl)``, ``spin_quant/ptq.py:25``), build the
+serving mesh over the 8 global devices (4 per process), and assert
+tp-sharded matmul + psum parity across the process boundary using the
+gloo CPU collectives backend.
+
+Skips cleanly on stacks without multi-process CPU support.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r'''
+import os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from guidedquant_tpu.parallel.distributed import init_distributed, serving_mesh
+
+# env-var (torchrun-style) configuration path
+pid = init_distributed()
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+mesh = serving_mesh(tp=4, dp=2)
+assert mesh.devices.shape == (2, 1, 4)
+
+# tp-sharded y = x @ W^T with W row-sharded across the process boundary
+rng = np.random.default_rng(0)
+N, K, B = 32, 16, 3
+W = rng.normal(size=(N, K)).astype(np.float32)
+x = rng.normal(size=(B, K)).astype(np.float32)
+
+w_sh = NamedSharding(mesh, P("tp", None))
+W_g = jax.make_array_from_callback((N, K), w_sh, lambda idx: W[idx])
+x_g = jax.make_array_from_callback(
+    (B, K), NamedSharding(mesh, P()), lambda idx: x[idx])
+
+y = jax.jit(lambda a, w: a @ w.T,
+            out_shardings=NamedSharding(mesh, P()))(x_g, W_g)
+np.testing.assert_allclose(np.asarray(jax.device_get(y)), x @ W.T,
+                           rtol=1e-5, atol=1e-5)
+
+# explicit cross-process collective (psum over both mesh axes)
+from jax.experimental.shard_map import shard_map
+ones = jax.make_array_from_callback(
+    (8,), NamedSharding(mesh, P(("dp", "tp"))),
+    lambda idx: np.arange(8, dtype=np.float32)[idx])
+tot = jax.jit(shard_map(
+    lambda a: jax.lax.psum(a.sum(), ("dp", "tp")),
+    mesh=mesh, in_specs=P(("dp", "tp")), out_specs=P()))(ones)
+assert float(jax.device_get(tot)) == 28.0, float(tot)
+print(f"OK process {pid}")
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_init_and_tp_parity(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = []
+    for i in range(2):
+        env = dict(env_base, REPO_ROOT=repo,
+                   COORDINATOR_ADDRESS=f"localhost:{port}",
+                   NUM_PROCESSES="2", PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, env=env))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and ("gloo" in out.lower()
+                                  and "unimplemented" in out.lower()):
+            pytest.skip(f"no multi-process CPU collectives: {out[-200:]}")
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
+        assert f"OK process {i}" in out, out[-2000:]

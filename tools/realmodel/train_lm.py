@@ -77,6 +77,12 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--chunk", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each layer (needed for pyword-190m: "
+                        "without it the 12-layer saved activations OOM the "
+                        "16 GB chip)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations/matmuls (params stay f32 masters)")
     args = p.parse_args()
 
     import jax
@@ -102,7 +108,10 @@ def main():
     def loss_fn(params, tokens):
         # cross_entropy_loss shifts internally (HF labels=input_ids
         # convention): pass the SAME [B, S+1] tokens as inputs and labels.
-        logits = llama.forward(params, cfg, tokens)
+        if args.bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params)
+        logits = llama.forward(params, cfg, tokens, remat=args.remat)
         return llama.cross_entropy_loss(logits, tokens)
 
     def one_step(carry, tokens):
