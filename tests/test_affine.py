@@ -7,7 +7,7 @@ are exactly in-family; LNQ can solve within it (codebook_family="affine").
 Oracle pattern: kernel vs dequant+matmul (reference test strategy,
 SURVEY.md §4)."""
 
-import numpy as np
+import numpy as np  # noqa: F401  (see kernel GEMM test below)
 import pytest
 
 from guidedquant_tpu.ops import lut_kernels
@@ -62,6 +62,37 @@ def test_affine_kernel_matches_oracle(bits, B, rng):
     # wide grids accumulate bf16 code-value rounding; scale tolerance
     atol = 2e-2 if bits <= 4 else 4e-2
     np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=atol)
+
+
+def test_affine_gemm_batch_tiled_matches_oracle(rng):
+    """Prefill GEMM path (B > MAX_BATCH): batch grid axis + per-block weight
+    streaming must match the dequant oracle, including batch padding."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = 2
+    TK = tile_k_for(bits)
+    N, K, B = 128, TK, 80  # B pads to 2 x tile_b=48? -> exercises pad+slice
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    words = jnp.asarray(pack_lane_tiled(codes, bits))
+    ref = x @ np.take_along_axis(lut, codes.astype(np.int64), 1).T
+    with pltpu.force_tpu_interpret_mode():
+        # multi-block grid: tile_b=32 -> 3 batch blocks with 16 pad rows
+        y = lut_matmul_affine(jnp.pad(jnp.asarray(x), ((0, 16), (0, 0))),
+                              words, jnp.asarray(s), jnp.asarray(m), bits,
+                              tile_n=128, tile_b=32)
+    scale = np.abs(ref).max() + 1e-6
+    got = np.asarray(y)
+    np.testing.assert_allclose(got[:B] / scale, ref / scale, atol=2e-2)
+    assert np.abs(got[B:]).max() < 1e-6  # pad rows stay zero
+
+    # and through the flex wrapper (auto pad/tile/slice)
+    with pltpu.force_tpu_interpret_mode():
+        yf = lut_matmul_affine_flex(jnp.asarray(x), words, jnp.asarray(s),
+                                    jnp.asarray(m), bits, out_features=N)
+    np.testing.assert_allclose(np.asarray(yf) / scale, ref / scale,
+                               atol=2e-2)
 
 
 @pytest.mark.parametrize("block_k", [1, 2, 4])
