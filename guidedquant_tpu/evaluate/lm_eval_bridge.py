@@ -27,19 +27,32 @@ class _JaxLM:
 
     def __init__(self, cfg, params, tokenizer, batch_size: int = 1,
                  max_length: int = 2048):
+        import jax
         import jax.numpy as jnp
         from ..models import llama
         self.cfg, self.params = cfg, params
         self.tok = tokenizer
         self.batch_size = batch_size
         self.max_length = max_length
-        self._forward = lambda t: llama.forward(params, cfg, jnp.asarray(t))
+        fwd = jax.jit(lambda t: llama.forward(params, cfg, t))
+        self._forward = lambda t: fwd(jnp.asarray(t))
 
     # -- helpers -----------------------------------------------------------
 
     def _logprobs(self, tokens: np.ndarray) -> np.ndarray:
-        """tokens [S] -> log-softmax logits [S, V] (f32, on host)."""
-        logits = np.asarray(self._forward(tokens[None]), np.float32)[0]
+        """tokens [S] -> log-softmax logits [S, V] (f32, on host).
+
+        Requests arrive at many distinct lengths; the forward is jitted, so
+        each length would recompile. Right-pad to the next multiple of 64
+        (causal-safe: positions < S never attend to the pad region) so a
+        handful of compiled shapes serves every request length."""
+        n = len(tokens)
+        m = ((n + 63) // 64) * 64
+        if m > self.max_length:
+            m = n  # near-window requests: score exactly, no padding
+        padded = np.zeros(m, np.int32)
+        padded[:n] = tokens
+        logits = np.asarray(self._forward(padded[None]), np.float32)[0, :n]
         m = logits.max(axis=-1, keepdims=True)
         lse = m + np.log(np.exp(logits - m).sum(axis=-1, keepdims=True))
         return logits - lse

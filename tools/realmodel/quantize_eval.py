@@ -26,16 +26,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..")))
-from train_lm import load_params  # noqa: E402
+from train_lm import load_params, model_preset  # noqa: E402
 
 
 def model_cfg(seq):
-    from guidedquant_tpu.models.config import ModelConfig
-    return ModelConfig(
-        name="pybyte-27m", vocab_size=256, hidden_size=512,
-        intermediate_size=1536, num_layers=8, num_heads=8, num_kv_heads=8,
-        rope_theta=10000.0, rms_norm_eps=1e-5, max_seq_len=seq,
-        tie_word_embeddings=False)
+    return model_preset("pybyte-27m", seq)
 
 
 def main():
@@ -43,17 +38,26 @@ def main():
                         format="%(asctime)s %(name)s: %(message)s")
     faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", default="cache/realmodel/ckpt.npz")
-    p.add_argument("--corpus", default="cache/realmodel/corpus.npz")
+    p.add_argument("--model", default="pybyte-27m",
+                   help="train_lm preset: pybyte-27m | pyword-190m")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--corpus", default=None)
     p.add_argument("--results", default="results.json")
     p.add_argument("--cache_dir", default="cache/realmodel")
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--num_examples", type=int, default=128)
     p.add_argument("--val_mb", type=float, default=0.5,
-                   help="held-out bytes to evaluate ppl on")
+                   help="held-out bytes/tokens (M) to evaluate ppl on")
     p.add_argument("--configs", nargs="+", default=None,
                    help='subset like "2-free 2-affine 4-free nosal"')
     args = p.parse_args()
+    word = args.model != "pybyte-27m"
+    if args.ckpt is None:
+        args.ckpt = ("cache/realmodel/ckpt_word.npz" if word
+                     else "cache/realmodel/ckpt.npz")
+    if args.corpus is None:
+        args.corpus = ("cache/realmodel/corpus_word.npz" if word
+                       else "cache/realmodel/corpus.npz")
 
     import jax.numpy as jnp
     from guidedquant_tpu.pipelines.quantize_lnq import layerwise_nuq
@@ -61,7 +65,7 @@ def main():
     from guidedquant_tpu.evaluate.results import record_result, has_result
     from guidedquant_tpu.formats.anyprec import load_packed
 
-    cfg = model_cfg(args.seq)
+    cfg = model_preset(args.model, args.seq)
     params = load_params(args.ckpt)
     z = np.load(args.corpus)
     train, val = z["train"], z["val"]
@@ -101,16 +105,26 @@ def main():
                       float(ppl))
         print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
 
-    def run_qtip(K, groups=1):
-        """QTIP trellis VQ on the real checkpoint (guided Hessians)."""
+    def run_qtip(K, groups=1, decode_mode="quantlut_sym", V=2,
+                 stream_format="tile256"):
+        """QTIP trellis VQ on the real checkpoint (guided Hessians).
+
+        ``stream_format="column"`` with a compute codebook (tpu2u/2mad,
+        V=1) is the *kernel-servable* configuration — the ppl recorded for
+        it validates exactly what the fused Pallas kernel serves (VERDICT
+        r2 next 1a: validate what you serve, serve what you validate).
+        """
         key = f"{K}bit-qtip" + (f"-g{groups}" if groups != 1 else "")
+        if stream_format == "column":
+            key += f"-column-{decode_mode}"
         if has_result(args.results, name, "ppl", "pycorpus-val", key):
             print(f"{key}: cached", flush=True)
             return
         from guidedquant_tpu.pipelines.quantize_qtip import quantize_qtip
         from guidedquant_tpu.formats import qtip_format
         packed = quantize_qtip(
-            name, cfg=cfg, params=params, K=K,
+            name, cfg=cfg, params=params, K=K, V=V,
+            decode_mode=decode_mode, stream_format=stream_format,
             cache_dir=args.cache_dir, dataset="pycorpus",
             seq_len=args.seq, num_examples=args.num_examples,
             num_groups=groups, tokens=calib_tokens)
@@ -119,6 +133,53 @@ def main():
         record_result(args.results, name, "ppl", "pycorpus-val", key,
                       float(ppl))
         print(f"{key} ppl/byte: {ppl:.4f}", flush=True)
+
+    def _held_out_text_and_encode():
+        """(text, encode) for the downstream task on this model family."""
+        if word:
+            from tokenizers import Tokenizer
+            tok = Tokenizer.from_file("cache/realmodel/tokenizer_word.json")
+            text = tok.decode(list(np.asarray(val[:400_000], np.int64)))
+            return text, lambda s: tok.encode(s).ids
+        text = bytes(np.asarray(val[:1_500_000], np.uint8)).decode("latin-1")
+        return text, lambda s: list(s.encode("latin-1"))
+
+    def run_downstream(spec, n_items=200, gen_items=50):
+        """Identifier-completion accuracy (local lm-eval analog) for a
+        quantized config or the fp32 baseline; records under
+        ``downstream`` next to the ppl ledger (VERDICT r2 next 9)."""
+        from guidedquant_tpu.evaluate.downstream import (
+            evaluate_identifier_completion)
+        if has_result(args.results, name, "downstream", "pycorpus-val",
+                      spec):
+            print(f"downstream {spec}: cached", flush=True)
+            return
+        if spec == "fp32":
+            qparams, qcfg = params, cfg
+        else:
+            parts = spec.split("-")
+            bits, family = int(parts[0]), parts[1]
+            nosal = parts[-1] == "nosal"
+            tile = 512 if family == "shared" else None
+            packed = layerwise_nuq(
+                name, cfg=cfg, params=params, seed_precision=bits,
+                cache_dir=args.cache_dir, dataset="pycorpus",
+                seq_len=args.seq, num_examples=args.num_examples,
+                num_groups=1, num_iterations=3, cd_cycles=4,
+                is_nosal=nosal, shared_shape_tile=tile,
+                codebook_family=family if family != "shared" else "free",
+                tokens=calib_tokens)
+            _q, qparams = load_packed(packed, precision=bits,
+                                      dtype=jnp.float32)
+            qcfg = cfg
+        text, encode = _held_out_text_and_encode()
+        res = evaluate_identifier_completion(
+            qcfg, qparams, text, encode, n_items=n_items,
+            gen_items=gen_items, ctx_chars=448 if not word else 900,
+            verbose=True)
+        record_result(args.results, name, "downstream", "pycorpus-val",
+                      spec, res)
+        print(f"downstream {spec}: {json.dumps(res)}", flush=True)
 
     def run_spinquant(w_bits, a_bits, groups=1):
         """SpinQuant rotate + guided GPTQ W{w}A{a} on the real checkpoint."""
@@ -218,6 +279,11 @@ def main():
             run_kd(int(parts[1]), int(parts[2]))
         elif parts[0] == "qtipe2e":  # e.g. qtipe2e-2-150
             run_qtip_e2e(int(parts[1]), int(parts[2]))
+        elif parts[0] == "qtipcol":  # e.g. qtipcol-2-tpu2u, qtipcol-3-2mad
+            run_qtip(int(parts[1]), groups, decode_mode=parts[2], V=1,
+                     stream_format="column")
+        elif parts[0] == "ds":  # e.g. ds-fp32, ds-2-free, ds-2-free-nosal
+            run_downstream("-".join(parts[1:]))
         elif parts[1:] == ["qtip"]:
             run_qtip(int(parts[0]), groups)
         elif parts[0] == "spinquant":  # e.g. spinquant-4-4

@@ -83,6 +83,12 @@ def main():
                         "16 GB chip)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations/matmuls (params stay f32 masters)")
+    p.add_argument("--save_every", type=int, default=2000,
+                   help="periodic checkpoint interval in steps (params + "
+                        "adam moments + step, atomic rename); 0 disables")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>.part if present (rebuilds the rng "
+                        "stream position from the saved step)")
     args = p.parse_args()
 
     import jax
@@ -100,8 +106,9 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.1f}M params")
 
+    warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 200, args.steps, args.lr * 0.1)
+        0.0, args.lr, warmup, args.steps, args.lr * 0.1)
     opt = optax.adamw(sched, weight_decay=0.01)
     opt_state = opt.init(params)
 
@@ -142,7 +149,64 @@ def main():
     log = []
     t0 = time.time()
     n_chunks = args.steps // args.chunk
-    for c in range(n_chunks):
+    start_chunk = 0
+    part_path = args.out + ".part"
+
+    def save_state(path, params, opt_state, done_steps):
+        """Atomic full training-state snapshot (params + adam mu/nu)."""
+        flat = {}
+        for name, tree in (("p", params), ("mu", opt_state[0].mu),
+                           ("nu", opt_state[0].nu)):
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                key = name + "/" + "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+                flat[key] = np.asarray(leaf)
+        flat["__step__"] = np.int64(done_steps)
+        # crash-safe write: fsync data before the rename and the directory
+        # after, else a killed process can leave the renamed entry
+        # unresolvable (observed on this box's overlay filesystem).
+        with open(path + ".tmp.npz", "wb") as f:
+            np.savez(f, **flat)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(path + ".tmp.npz", path)
+        dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    if args.resume and os.path.exists(part_path):
+        z = np.load(part_path)
+        done = int(z["__step__"])
+        trees = {"p": {}, "mu": {}, "nu": {}}
+        for key in z.files:
+            if key == "__step__":
+                continue
+            parts = key.split("/")
+            d = trees[parts[0]]
+            for q in parts[1:-1]:
+                d = d.setdefault(q, {})
+            d[parts[-1]] = jnp.asarray(z[key])
+        params = trees["p"]
+        # adamw state = (ScaleByAdamState(count, mu, nu), EmptyState,
+        # ScaleByScheduleState(count)); both counts drive warmup/decay.
+        inner = opt_state[0]._replace(
+            count=jnp.asarray(done, jnp.int32), mu=trees["mu"],
+            nu=trees["nu"])
+        tail = tuple(
+            s._replace(count=jnp.asarray(done, jnp.int32))
+            if "count" in getattr(s, "_fields", ()) else s
+            for s in opt_state[1:])
+        opt_state = (inner,) + tail
+        step = jnp.asarray(done, jnp.int32)
+        start_chunk = done // args.chunk
+        # replay the rng stream so resumed batches differ from seen ones
+        for _ in range(start_chunk):
+            sample_batch(rng, args.chunk)
+        print(f"resumed from {part_path} at step {done}", flush=True)
+
+    for c in range(start_chunk, n_chunks):
         toks = sample_batch(rng, args.chunk)
         params, opt_state, step, mloss = chunk_steps(
             params, opt_state, step, jnp.asarray(toks))
@@ -157,9 +221,17 @@ def main():
                    "elapsed_s": round(time.time() - t0, 1)}
             log.append(rec)
             print(json.dumps(rec), flush=True)
+        done = (c + 1) * args.chunk
+        if args.save_every and done % args.save_every == 0 and \
+                done < args.steps:
+            save_state(part_path, jax.device_get(params),
+                       jax.device_get(opt_state), done)
+            print(f"checkpointed {part_path} at step {done}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     save_params(args.out, jax.device_get(params))
+    if os.path.exists(part_path):
+        os.remove(part_path)
     with open(args.out.replace(".npz", "_log.json"), "w") as f:
         json.dump({"config": cfg.name, "steps": args.steps, "log": log}, f,
                   indent=1)
