@@ -70,26 +70,32 @@ def _decode_tok_s(params, cfg, n_tokens=64, batch=1, max_seq=640):
     return batch / step
 
 
-def _build_quantized_device(cfg, bits=2, seed=7):
-    """Fused 2-bit model built entirely on device (no host upload).
+def _build_quantized_device(cfg, bits=2, seed=7, family="affine"):
+    """Fused quantized model built entirely on device (no host upload).
 
     Kernel operands only: random lane-tiled words ARE a valid packing of
     random codes, and decode throughput is weight-value independent. The
     bit-plane checkpoint `qweight` is a tiny placeholder — the decode hot
-    path (affine kernel) never reads it; this builder is for throughput
-    benchmarking only.
+    path never reads it; this builder is for throughput benchmarking only.
+
+    family: "affine" (uniform-grid LUT, code-dot kernel) or "free"
+    (arbitrary per-row LUT, exact-polynomial kernel — the paper's
+    free-codebook LNQ configuration; bits must be in KERNEL_BITS).
 
     BENCH_HEAD: "int8" (default), "affine4" (4-bit affine any-prec head —
     the mixed_pack configuration) or "bf16".
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from guidedquant_tpu.nn.linear import AnyPrecLinear, Int8Linear
     from guidedquant_tpu.ops import lut_kernels
 
     d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     V = cfg.vocab_size
-    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 64))
+    if family == "free":
+        assert bits in lut_kernels.KERNEL_BITS, (family, bits)
 
     def qlin(out_f, in_f, b=bits, stacked=True, k_tile_mult=1):
         TK = lut_kernels.tile_k_for(b)
@@ -98,20 +104,39 @@ def _build_quantized_device(cfg, bits=2, seed=7):
         n_t = K_pad // TK
         n_t = ((n_t + k_tile_mult - 1) // k_tile_mult) * k_tile_mult
         K_pad = n_t * TK
-        W = K_pad * b // 32
         lead = (L,) if stacked else ()
-        qwords = jax.random.randint(next(keys), lead + (out_f, W),
-                                    -2**31, 2**31 - 1, jnp.int32)
+
+        def words(field_bits):
+            W = K_pad * field_bits // 32
+            return jax.random.randint(next(keys), lead + (out_f, W),
+                                      -2**31, 2**31 - 1, jnp.int32)
+
+        fs = lut_kernels.FIELD_SPLIT[b]
+        qwords = words(b) if len(fs) == 1 else tuple(words(ff) for ff in fs)
         s = (jax.random.uniform(next(keys), lead + (out_f,)) * 0.5
              + 0.75) * 0.02
         m = jax.random.normal(next(keys), lead + (out_f,)) * 0.002
         C = 2 ** b
-        luts = {b: (m[..., None] + s[..., None] *
-                    jnp.arange(C, dtype=jnp.float32)).astype(jnp.bfloat16)}
+        if family == "free":
+            # arbitrary (sorted-random) per-row LUT -> exact-poly kernel
+            rng = np.random.default_rng(seed + out_f)
+            lut_np = np.sort(rng.normal(size=lead + (out_f, C))
+                             ).astype(np.float32) * 0.02
+            flat = lut_np.reshape(-1, C)
+            coef = lut_kernels.lut_to_poly(flat, b).astype(np.float32)
+            pcoef = jnp.asarray(coef.reshape(lut_np.shape[:-1] + (C,)))
+            luts = {b: jnp.asarray(lut_np, jnp.bfloat16)}
+            srow = mrow = None
+        else:
+            pcoef = None
+            luts = {b: (m[..., None] + s[..., None] *
+                        jnp.arange(C, dtype=jnp.float32)
+                        ).astype(jnp.bfloat16)}
+            srow, mrow = s.astype(jnp.float32), m.astype(jnp.float32)
         return AnyPrecLinear(
             qweight=jnp.zeros(lead + (b, out_f, 8), jnp.int32),  # placeholder
-            luts=luts, bias=None, qwords=qwords, pcoef=None, gpoly=None,
-            srow=s.astype(jnp.float32), mrow=m.astype(jnp.float32),
+            luts=luts, bias=None, qwords=qwords, pcoef=pcoef, gpoly=None,
+            srow=srow, mrow=mrow,
             precision=b, out_features=out_f, in_features=in_f)
 
     # down-proj k-tiles: unpadded 7 tiles + 1-tile grid steps measured

@@ -180,7 +180,13 @@ def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
     and wide LUTs a one-hot batched dot (MXU).
     """
     bits = bits or w.precision
-    codes = unpack_bitplanes(w.qweight, bits)  # [N, K] int32 in [0, 2^bits)
+    if w.qwords is not None and bits == w.precision and w.in_features:
+        # decode straight off the lane-tiled kernel operand — no bit-plane
+        # checkpoint needed on device (mirrors the affine prefill branch)
+        from ..ops import lut_kernels
+        codes = lut_kernels.unpack_lane_tiled(w.qwords, bits, w.in_features)
+    else:
+        codes = unpack_bitplanes(w.qweight, bits)  # [N, K] in [0, 2^bits)
     lut = w.luts[bits].astype(dtype)  # [N, C]
     C = lut.shape[1]
     if C <= 16:

@@ -1,7 +1,7 @@
-"""Measure the full 2-bit 8B decode step (unrolled) — the repeatable metric
-for kernel-variant comparisons (per-kernel microbenches are too noisy over
-the axon tunnel). Env knobs: AFFINE_BLOCK_K (0=auto), Q8B_LAYERS,
-Q8B_BATCH."""
+"""Measure the full quantized 8B decode step (unrolled) — the repeatable
+metric for kernel-variant comparisons (per-kernel microbenches are too
+noisy over the axon tunnel). Env knobs: AFFINE_BLOCK_K (0=auto),
+Q8B_LAYERS, Q8B_BATCH, Q8B_BITS (2), Q8B_FAMILY (affine|free)."""
 import os, sys, time
 import numpy as np
 sys.path.insert(0, '/root/repo')
@@ -13,8 +13,10 @@ bench = importlib.import_module("bench")
 
 L = int(os.environ.get("Q8B_LAYERS", "32"))
 B = int(os.environ.get("Q8B_BATCH", "1"))
+BITS = int(os.environ.get("Q8B_BITS", "2"))
+FAMILY = os.environ.get("Q8B_FAMILY", "affine")
 cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024, num_layers=L)
-qp, cq = bench._build_quantized_device(cfg, bits=2)
+qp, cq = bench._build_quantized_device(cfg, bits=BITS, family=FAMILY)
 qp = engine.unroll_layers(qp)
 
 null = jax.jit(lambda a: a + 1)
@@ -40,5 +42,6 @@ for _ in range(4):
     np.asarray(t2)
     best = min(best, time.perf_counter() - t0)
 step = (best - ov) / n
-print(f"L={L} B={B} block_k={os.environ.get('AFFINE_BLOCK_K','0')}: "
+print(f"L={L} B={B} bits={BITS} family={FAMILY} "
+      f"block_k={os.environ.get('AFFINE_BLOCK_K','0')}: "
       f"{step*1e3:.3f} ms/step ({B/step:.1f} tok/s/chip)", flush=True)
