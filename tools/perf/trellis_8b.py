@@ -6,7 +6,7 @@ head, unrolled decode. Weights are device-built random kernel words
 (decode throughput is value-independent; ~1.8 GB at 2 bits — the
 capacity story: bf16 8B does not fit in 16 GB HBM at all).
 
-Env: T8B_LAYERS, T8B_BATCH.
+Env: T8B_LAYERS, T8B_BATCH, T8B_K (2|3|4), T8B_MODE (tpu2u|2mad).
 """
 import os, sys, time
 import numpy as np
@@ -19,6 +19,8 @@ from guidedquant_tpu.nn.linear import quantize_int8
 
 L = int(os.environ.get("T8B_LAYERS", "32"))
 B = int(os.environ.get("T8B_BATCH", "1"))
+K = int(os.environ.get("T8B_K", "2"))
+MODE = os.environ.get("T8B_MODE", "tpu2u")
 cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024, num_layers=L,
                                          tie_word_embeddings=False)
 d, f = cfg.hidden_size, cfg.intermediate_size
@@ -26,8 +28,11 @@ keys = iter(jax.random.split(jax.random.PRNGKey(11), 64))
 
 
 def tlin(out_f, in_f):
-    kw = jax.random.randint(next(keys), (L, out_f // 16, in_f),
-                            -2**31, 2**31 - 1, jnp.int32)
+    # kernel-word layout: [m*K/32, n] uniform K; [3, m/32, n] phase planes
+    # at K=3 (see ops.trellis_kernel.states_to_kwords)
+    shape = ((L, 3, out_f // 32, in_f) if K == 3
+             else (L, out_f * K // 32, in_f))
+    kw = jax.random.randint(next(keys), shape, -2**31, 2**31 - 1, jnp.int32)
     su = (jax.random.randint(next(keys), (L, in_f), 0, 2) * 2 - 1
           ).astype(jnp.bfloat16)
     sv = (jax.random.randint(next(keys), (L, out_f), 0, 2) * 2 - 1
@@ -35,7 +40,7 @@ def tlin(out_f, in_f):
     return TrellisLinear(
         trellis=jnp.zeros((L, 1, 1), jnp.uint16),
         SU=su, SV=sv, Wscale=jnp.full((L,), 0.02, jnp.float32),
-        kwords=kw, decode_mode="tpu2u", K=2, V=1,
+        kwords=kw, decode_mode=MODE, K=K, V=1,
         out_features=out_f, in_features=in_f)
 
 
@@ -83,5 +88,5 @@ for _ in range(4):
     np.asarray(t2)
     best = min(best, time.perf_counter() - t0)
 step = (best - ov) / n
-print(f"trellis8b L={L} B={B}: {step*1e3:.3f} ms/step "
+print(f"trellis8b L={L} B={B} K={K} mode={MODE}: {step*1e3:.3f} ms/step "
       f"({B/step:.1f} tok/s/chip)", flush=True)
