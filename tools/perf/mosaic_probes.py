@@ -131,6 +131,28 @@ elif variant == "e":
     err = np.abs(y - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err
 
+elif variant == "f":
+    # fully int-domain: u8 word decode (u8 shift/and) -> i8 codes -> int8
+    # MXU dot vs int8 activations. No float cast anywhere — the W2A8
+    # native decode form (per-row affine epilogue folds outside in f32).
+    words = jnp.asarray(rng.randint(0, 256, (TN, W8)).astype(np.uint8))
+    xq = jnp.asarray(rng.randint(-127, 128, (8, TK)).astype(np.int8))
+
+    def k(x_ref, w_ref, o_ref):
+        tiled = jnp.tile(w_ref[:], (1, 4))
+        sh = ((lax.broadcasted_iota(jnp.int32, (1, TK), 1) // W8) * 2
+              ).astype(jnp.uint8)
+        c = lax.shift_right_logical(tiled, jnp.broadcast_to(sh, tiled.shape)) & 3
+        ci = c.astype(jnp.int8)
+        o_ref[:] = lax.dot_general(x_ref[:], ci, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    y = run_pallas(k, xq, words, out_dtype=jnp.int32)
+    w = np.asarray(words)
+    codes = np.concatenate([(w >> (2 * i)) & 3 for i in range(4)], axis=1)
+    ref = np.asarray(xq, np.int32) @ codes.astype(np.int32).T
+    assert (y == ref).all()
+
 else:
     raise SystemExit(f"unknown variant {variant}")
 
