@@ -17,6 +17,15 @@ BITS = int(os.environ.get("Q8B_BITS", "2"))
 FAMILY = os.environ.get("Q8B_FAMILY", "affine")
 cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024, num_layers=L)
 qp, cq = bench._build_quantized_device(cfg, bits=BITS, family=FAMILY)
+if os.environ.get("Q8B_PATH", "kernel") == "dequant":
+    # strip the fused-kernel operands so every linear takes the
+    # dequantize-then-matmul fallback (the baseline the kernel must beat)
+    from guidedquant_tpu.nn.linear import AnyPrecLinear
+    lay = dict(qp["layers"])
+    for k, v in lay.items():
+        if isinstance(v, AnyPrecLinear):
+            lay[k] = v.replace(pcoef=None, srow=None, mrow=None, gpoly=None)
+    qp = dict(qp, layers=lay)
 qp = engine.unroll_layers(qp)
 
 null = jax.jit(lambda a: a + 1)
