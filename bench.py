@@ -262,6 +262,16 @@ def _run_8b(quick):
 
     build_cfg = cfg.replace(num_layers=4) if quick else cfg
     qparams, cfg_q = _build_quantized_device(build_cfg, bits=2)
+    if os.environ.get("BENCH_ACT", "16") == "8":
+        # int-domain W2A8 kernels (u8-word decode + int8 MXU code-dot);
+        # the A8 activation quantization is the only numeric change —
+        # near-lossless class (w4a8-spinquant ledger row).
+        from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
+        lay = dict(qparams["layers"])
+        for k, v in lay.items():
+            if isinstance(v, AnyPrecLinear):
+                lay[k] = with_act8(v)
+        qparams = dict(qparams, layers=lay)
     if os.environ.get("BENCH_UNROLL", "1") == "1":
         # per-layer weight buffers: Pallas operands bind directly instead of
         # being re-materialized from scan slices every step (engine.unroll_layers)

@@ -674,6 +674,230 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
 
 
 # ---------------------------------------------------------------------------
+# W2A8 affine kernel: u8-word decode + int8 MXU code-dot
+#
+# The bf16 affine kernel is VPU pass-count bound: tile + shift + mask +
+# cast run on int32 words (16 codes/word). Packing the same codes into u8
+# words (4 codes/byte at 2-bit) lets the VPU process 4x more codes per
+# vector op (u8 is 4-per-32-bit-lane packed; tools/perf/vpu_pass_bench.py
+# hints ~5x), and the decoded u8 codes feed the MXU *as int8* against
+# int8-quantized activations (probe form: tools/perf/mosaic_probes.py f).
+# No float cast anywhere in the hot path; the per-row affine epilogue and
+# the per-token activation scale fold into the same O(N) epilogue:
+#   y_n = (sx * acc_n) * s_n + sum(x) * m_n,   acc = xq . codes  (int32).
+# Numerics: codes are exact; the only approximation is the A8 activation
+# quantization (per-token absmax/127) — the same error class as the
+# native int8 W4A8 path (nn/act_quant.py), measured near-lossless on the
+# real checkpoint (w4a8-spinquant ledger row).
+# ---------------------------------------------------------------------------
+
+def _pack_field_u8(codes: np.ndarray, f: int, TK: int) -> np.ndarray:
+    """codes [N, K] of an f-bit field -> uint8 [N, K*f/8] byte-lane-tiled:
+    within each TK-lane tile the code for lane p lives in byte ``p % W8``
+    at bit offset ``f * (p // W8)``, W8 = TK*f/8."""
+    per_byte = 8 // f
+    W8 = TK * f // 8
+    N, K = codes.shape
+    assert K % TK == 0, (K, TK)
+    n_tiles = K // TK
+    c = codes.reshape(N, n_tiles, per_byte, W8).astype(np.uint16)
+    shifts = (np.arange(per_byte, dtype=np.uint16) * f)[None, None, :, None]
+    words = (c << shifts).sum(axis=2, dtype=np.uint16)
+    return words.reshape(N, n_tiles * W8).astype(np.uint8)
+
+
+def pack_lane_tiled_u8(codes: np.ndarray, bits: int):
+    """codes [N, K] -> u8 kernel operand (field tuple for composite bits)."""
+    fs = FIELD_SPLIT[bits]
+    TK = tile_k_for(bits)
+    if len(fs) == 1:
+        return _pack_field_u8(codes, bits, TK)
+    return tuple(_pack_field_u8(c, f, TK)
+                 for c, f in zip(split_fields(codes, bits), fs))
+
+
+def u8_words_from_packed(words, bits: int):
+    """Traceable one-time repack: int32 lane-tiled words -> u8 operand.
+
+    Done once at weight-bind time (engine unroll / with_kernel_layout), so
+    the stored checkpoint format stays the canonical int32 layout."""
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
+    fs = FIELD_SPLIT[bits]
+    TK = tile_k_for(bits)
+    lead = words_t[0].shape[:-1]  # rowwise transform: leading dims flatten
+    W0 = TK * fs[0] // 32
+    K_pad = words_t[0].shape[-1] // W0 * TK
+    flat = [w_f.reshape(-1, w_f.shape[-1]) for w_f in words_t]
+    codes = unpack_lane_tiled(flat[0] if len(flat) == 1 else tuple(flat),
+                              bits, K_pad)  # [N, K_pad] combined int32 codes
+    N = codes.shape[0]
+    out, rem = [], bits
+    for f in fs:
+        rem -= f
+        c = (codes >> rem) & ((1 << f) - 1)
+        per_byte = 8 // f
+        W8 = TK * f // 8
+        cr = c.reshape(N, -1, per_byte, W8)
+        sh = (jnp.arange(per_byte, dtype=jnp.int32) * f)[None, None, :, None]
+        u8 = jnp.sum(cr << sh, axis=2).astype(jnp.uint8)
+        out.append(u8.reshape(*lead, -1))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def _decode_codes_u8(words, f: int, tile_k: int):
+    """u8 words [TN, W8] -> u8 codes [TN, tile_k] (tile/shift/mask in u8)."""
+    W8 = words.shape[1]
+    per_byte = tile_k // W8
+    tiled = jnp.tile(words, (1, per_byte))
+    shift = ((lax.broadcasted_iota(jnp.int32, (1, tile_k), 1) // W8) * f
+             ).astype(jnp.uint8)
+    codes = lax.shift_right_logical(tiled, jnp.broadcast_to(shift, tiled.shape))
+    return codes & ((1 << f) - 1)
+
+
+def _affine_w2a8_kernel(x_ref, sx_ref, sumx_ref, s_ref, m_ref, *rest,
+                        bits: int, tile_k: int, n_jsteps: int, block_k: int):
+    """Int-domain affine code-dot; epilogue folds activation scale + affine.
+
+    x_ref  [tile_b, block_k*tile_k] int8 (per-token absmax-quantized)
+    sx_ref/sumx_ref [tile_b, 1] f32; s_ref/m_ref [1, tile_n] f32
+    rest[:-1] per-field u8 words [tile_n, block_k*W8_f]
+    """
+    o_ref = rest[-1]
+    w_refs = rest[:-1]
+    j = pl.program_id(2)
+    fs = FIELD_SPLIT[bits]
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    acc = None
+    for t in range(block_k):
+        out, rem = None, bits
+        for w_ref, f in zip(w_refs, fs):
+            W8 = tile_k * f // 8
+            c = _decode_codes_u8(w_ref[:, t * W8:(t + 1) * W8], f, tile_k)
+            rem -= f
+            if rem:
+                c = c << rem
+            out = c if out is None else out | c
+        ci = out.astype(jnp.int8)  # codes < 2^bits <= 127 for bits <= 7
+        d = lax.dot_general(x_ref[:, t * tile_k:(t + 1) * tile_k], ci,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    o_ref[:] += acc.astype(jnp.float32)
+
+    @pl.when(j == n_jsteps - 1)
+    def _():
+        o_ref[:] = (o_ref[:] * (sx_ref[:] * s_ref[:])
+                    + sumx_ref[:] * m_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k",
+                                             "tile_b", "interpret"))
+def lut_matmul_affine_w2a8(x: jnp.ndarray, words_u8, srow: jnp.ndarray,
+                           mrow: jnp.ndarray, bits: int,
+                           tile_n: int = 256, block_k: int = 0,
+                           tile_b: int = 0,
+                           interpret: bool = False) -> jnp.ndarray:
+    """y[B, N] ~= x @ (m + s*codes)^T with int8-quantized activations.
+
+    ``words_u8``: u8 operand from pack_lane_tiled_u8 / u8_words_from_packed
+    (field tuple for composite widths). bits <= 7 (codes must fit int8)."""
+    assert bits <= 7, bits
+    words_t = words_u8 if isinstance(words_u8, (tuple, list)) else (words_u8,)
+    fs = FIELD_SPLIT[bits]
+    B, K_pad = x.shape
+    N = words_t[0].shape[0]
+    TK = tile_k_for(bits)
+    W8s = [TK * f // 8 for f in fs]
+    n_ktiles = words_t[0].shape[1] // W8s[0]
+    assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)
+    assert N % tile_n == 0, (N, tile_n)
+    tile_b = tile_b or B
+    assert B % tile_b == 0, (B, tile_b)
+    if block_k == 0:
+        block_k = n_ktiles if n_ktiles * TK <= 4096 else 1
+    assert n_ktiles % block_k == 0, (n_ktiles, block_k)
+    n_jsteps = n_ktiles // block_k
+
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-30) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    sumx = jnp.sum(xf, axis=1, keepdims=True)
+
+    def _wspec(W8):
+        return pl.BlockSpec((tile_n, block_k * W8), lambda b, i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_affine_w2a8_kernel, bits=bits, tile_k=TK,
+                          n_jsteps=n_jsteps, block_k=block_k),
+        grid=(B // tile_b, N // tile_n, n_jsteps),
+        in_specs=[pl.BlockSpec((tile_b, block_k * TK),
+                               lambda b, i, j: (b, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_b, 1), lambda b, i, j: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_b, 1), lambda b, i, j: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_n), lambda b, i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_n), lambda b, i, j: (0, i),
+                               memory_space=pltpu.VMEM)]
+                 + [_wspec(W8) for W8 in W8s],
+        out_specs=pl.BlockSpec((tile_b, tile_n), lambda b, i, j: (b, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K_pad + 2 * N * K_pad * (B // tile_b),
+            bytes_accessed=(N * K_pad * bits // 8) * (B // tile_b)
+            + B * K_pad + B * N * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xq, sx, sumx,
+      srow.astype(jnp.float32)[None, :], mrow.astype(jnp.float32)[None, :],
+      *words_t)
+    return y
+
+
+def lut_matmul_affine_w2a8_flex(x: jnp.ndarray, words_u8,
+                                srow: jnp.ndarray, mrow: jnp.ndarray,
+                                bits: int,
+                                out_features: Optional[int] = None
+                                ) -> jnp.ndarray:
+    """W2A8 affine wrapper: x [..., K]; mirrors lut_matmul_affine_flex."""
+    import os
+    words_t = words_u8 if isinstance(words_u8, (tuple, list)) else (words_u8,)
+    *lead, K = x.shape
+    B = int(np.prod(lead)) if lead else 1
+    TK = tile_k_for(bits)
+    W80 = TK * FIELD_SPLIT[bits][0] // 8
+    K_pad = words_t[0].shape[1] // W80 * TK
+    x2 = x.reshape(B, K)
+    B_pad, tile_b = B, 0
+    if B > MAX_BATCH:
+        tile_b = min(GEMM_TILE_B, ((B + 7) // 8) * 8)
+        B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if K_pad != K or B_pad != B:
+        x2 = jnp.pad(x2, ((0, B_pad - B), (0, K_pad - K)))
+    N = words_t[0].shape[0]
+    tile_n = (512 if N % 512 == 0 else 256 if N % 256 == 0
+              else 128 if N % 128 == 0 else N)
+    block_k = int(os.environ.get("AFFINE_BLOCK_K", "0"))
+    y = lut_matmul_affine_w2a8(x2, words_u8, srow, mrow, bits,
+                               tile_n=tile_n, block_k=block_k, tile_b=tile_b)
+    if B_pad != B:
+        y = y[:B]
+    if out_features is not None and out_features != N:
+        y = y[:, :out_features]
+    return y.reshape(*lead, -1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # BCQ (LUT-GEMM) kernel: sum of per-row-scaled sign planes
 #
 # TPU-native analog of the reference's ``nqmv_bias``
@@ -797,6 +1021,15 @@ def supported_affine(x, qwords, bits) -> bool:
     """The affine kernel additionally serves prefill-sized batches via the
     batch-tiled GEMM path (see lut_matmul_affine_flex)."""
     if qwords is None or bits not in AFFINE_BITS:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return _ntok(x) <= GEMM_MAX_TOKENS
+
+
+def supported_affine_w2a8(x, qwords_u8, bits) -> bool:
+    """W2A8 path: u8-word decode + int8 MXU dot (bits <= 7)."""
+    if qwords_u8 is None or bits not in AFFINE_BITS or bits > 7:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -26,6 +26,14 @@ if os.environ.get("Q8B_PATH", "kernel") == "dequant":
         if isinstance(v, AnyPrecLinear):
             lay[k] = v.replace(pcoef=None, srow=None, mrow=None, gpoly=None)
     qp = dict(qp, layers=lay)
+if os.environ.get("Q8B_ACT", "16") == "8":
+    # int-domain W{b}A8 kernels: u8-word decode + int8 MXU code-dot
+    from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
+    lay = dict(qp["layers"])
+    for k, v in lay.items():
+        if isinstance(v, AnyPrecLinear):
+            lay[k] = with_act8(v)
+    qp = dict(qp, layers=lay)
 qp = engine.unroll_layers(qp)
 
 null = jax.jit(lambda a: a + 1)
