@@ -34,7 +34,6 @@ if GEOM == "8b":
     bench = importlib.import_module("bench")
     cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024)
     params, cfg = bench._build_quantized_device(cfg, bits=2)
-    params = engine.unroll_layers(params)
 else:
     cfg = get_config("llama-3.2-1b").replace(max_seq_len=1024)
     params = fuse_projections(_build_quantized_llama(cfg, 0, bits=2,
@@ -42,7 +41,15 @@ else:
     params = dict(params)
     params["lm_head"] = quantize_int8(params["embed"])
     cfg = cfg.replace(tie_word_embeddings=False)
-    params = engine.unroll_layers(params)
+
+if os.environ.get("SERVED_ACT", "16") == "8":
+    # int-domain W2A8 kernels in the served path (decode AND GEMM prefill);
+    # applied on the stacked tree, before per-layer unrolling
+    from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
+    params = dict(params, layers={
+        k: (with_act8(v) if isinstance(v, AnyPrecLinear) else v)
+        for k, v in params["layers"].items()})
+params = engine.unroll_layers(params)
 
 rng = np.random.default_rng(0)
 for slots in SLOTS:

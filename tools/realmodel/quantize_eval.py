@@ -82,8 +82,12 @@ def main():
                       float(ppl))
         print(f"fp32 ppl/byte: {ppl:.4f}", flush=True)
 
-    def run(bits, family, nosal=False, groups=1):
+    def run(bits, family, nosal=False, groups=1, act8=False):
         key = f"{bits}bit-{family}" + ("-nosal" if nosal else "")
+        if act8:
+            key += "-a8"  # int-domain W{b}A8 kernel path (u8 decode +
+            # int8 MXU dot): ppl-validates exactly what the fast kernel
+            # serves when activations are absmax-int8 quantized
         if groups != 1:
             key += f"-g{groups}"
         if has_result(args.results, name, "ppl", "pycorpus-val", key):
@@ -100,6 +104,11 @@ def main():
             tokens=calib_tokens)
         _qcfg, qparams = load_packed(packed, precision=bits,
                                      dtype=jnp.float32)
+        if act8:
+            from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
+            qparams = dict(qparams, layers={
+                k: (with_act8(v) if isinstance(v, AnyPrecLinear) else v)
+                for k, v in qparams["layers"].items()})
         ppl = evaluate_ppl(qparams, cfg, val_stream, ctx_len=args.seq)
         record_result(args.results, name, "ppl", "pycorpus-val", key,
                       float(ppl))
@@ -273,6 +282,10 @@ def main():
     for w in wanted:
         parts = w.split("-")
         groups = 1
+        act8 = False
+        if parts[-1] == "a8":  # e.g. 2-affine-a8: W{b}A8 kernel-path ppl
+            act8 = True
+            parts.pop()
         if parts[-1].startswith("g") and parts[-1][1:].isdigit():
             groups = int(parts.pop()[1:])
         if parts[0] == "kd":  # e.g. kd-2-200
@@ -291,7 +304,7 @@ def main():
         elif parts[0] == "nosal":
             run(2, "free", nosal=True, groups=groups)
         else:
-            run(int(parts[0]), parts[1], groups=groups)
+            run(int(parts[0]), parts[1], groups=groups, act8=act8)
 
     with open(args.results) as f:
         res = json.load(f)
