@@ -54,13 +54,12 @@ class AnyPrecLinear:
     gpoly: Optional[jnp.ndarray] = None
     srow: Optional[jnp.ndarray] = None
     mrow: Optional[jnp.ndarray] = None
-    # u8-word operand for the int-domain W{b}A8 affine kernel (u8 decode +
-    # int8 MXU code-dot; ops.lut_kernels.lut_matmul_affine_w2a8). Built
-    # from the same codes as qwords; engaged when act_bits == 8.
-    qwords_u8: Optional[jnp.ndarray] = None
     precision: int = struct.field(pytree_node=False, default=0)
     out_features: int = struct.field(pytree_node=False, default=0)
     in_features: int = struct.field(pytree_node=False, default=0)
+    # act_bits == 8 routes the affine path through the int-domain W{b}A8
+    # kernel (same qwords operand; int8 MXU code-dot + A8 activation
+    # quantization; ops.lut_kernels.lut_matmul_affine_w2a8).
     act_bits: int = struct.field(pytree_node=False, default=16)
 
     @property
@@ -71,7 +70,7 @@ class AnyPrecLinear:
         if bits not in self.luts:
             raise ValueError(f"{bits}-bit not available; have {self.supported_bits}")
         return self.replace(precision=bits, qwords=None, pcoef=None,
-                            gpoly=None, srow=None, mrow=None, qwords_u8=None)
+                            gpoly=None, srow=None, mrow=None)
 
 
 def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
@@ -179,15 +178,12 @@ def with_kernel_layout(w: AnyPrecLinear) -> AnyPrecLinear:
 def with_act8(w: AnyPrecLinear) -> AnyPrecLinear:
     """Engage the int-domain W{b}A8 affine kernel for this leaf.
 
-    Derives the u8-word operand from the lane-tiled int32 words (one-time
-    traceable repack; storage format unchanged). No-op unless the leaf is
-    on the affine fast path with precision <= 7."""
-    from ..ops import lut_kernels
+    Same qwords operand, int8 MXU code-dot; no-op unless the leaf is on
+    the affine fast path with precision <= 7."""
     if (w.qwords is None or w.srow is None or w.gpoly is not None
             or w.precision > 7):
         return w
-    u8 = lut_kernels.u8_words_from_packed(w.qwords, w.precision)
-    return w.replace(qwords_u8=u8, act_bits=8)
+    return w.replace(act_bits=8)
 
 
 def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
@@ -261,15 +257,14 @@ def apply_linear(w: Any, x: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_anyprec(w: AnyPrecLinear, x: jnp.ndarray) -> jnp.ndarray:
     from ..ops import lut_kernels
-    if (w.act_bits == 8 and w.qwords_u8 is not None and w.srow is not None
+    if (w.act_bits == 8 and w.qwords is not None and w.srow is not None
             and w.gpoly is None
-            and lut_kernels.supported_affine_w2a8(x, w.qwords_u8,
-                                                  w.precision)):
-        # Int-domain W{b}A8 affine kernel: u8-word decode (4x VPU element
-        # rate) + int8 MXU code-dot; activation A8 absmax quantization is
-        # the only approximation (same class as nn/act_quant W4A8).
+            and lut_kernels.supported_affine_w2a8(x, w.qwords, w.precision)):
+        # Int-domain W{b}A8 affine kernel: same decode, int8 MXU code-dot
+        # (2x MXU rate on GEMM batches); activation A8 absmax quantization
+        # is the only approximation (same class as nn/act_quant W4A8).
         y = lut_kernels.lut_matmul_affine_w2a8_flex(
-            x, w.qwords_u8, w.srow, w.mrow, w.precision, w.out_features)
+            x, w.qwords, w.srow, w.mrow, w.precision, w.out_features)
     elif (w.qwords is not None and w.gpoly is None and w.srow is not None
             and lut_kernels.supported_affine(x, w.qwords, w.precision)):
         # Affine (uniform-grid) kernel: code-dot + per-row epilogue.

@@ -674,17 +674,18 @@ def lut_matmul_affine_flex(x: jnp.ndarray, words,
 
 
 # ---------------------------------------------------------------------------
-# W2A8 affine kernel: u8-word decode + int8 MXU code-dot
+# W{b}A8 affine kernel: i32-word decode + int8 MXU code-dot
 #
-# The bf16 affine kernel is VPU pass-count bound: tile + shift + mask +
-# cast run on int32 words (16 codes/word). Packing the same codes into u8
-# words (4 codes/byte at 2-bit) lets the VPU process 4x more codes per
-# vector op (u8 is 4-per-32-bit-lane packed; tools/perf/vpu_pass_bench.py
-# hints ~5x), and the decoded u8 codes feed the MXU *as int8* against
-# int8-quantized activations (probe form: tools/perf/mosaic_probes.py f).
-# No float cast anywhere in the hot path; the per-row affine epilogue and
-# the per-token activation scale fold into the same O(N) epilogue:
+# The decoded codes feed the MXU *as int8* against int8-quantized
+# activations (2x the bf16 MXU rate — the win scales with batch, i.e. the
+# GEMM prefill path); the per-row affine epilogue and the per-token
+# activation scale fold into one O(N) epilogue:
 #   y_n = (sx * acc_n) * s_n + sum(x) * m_n,   acc = xq . codes  (int32).
+# The decode chain itself stays in i32 (tile/shift/mask — the proven
+# form): narrow-int ALU would cut the VPU pass cost 4x, but `arith.shrui`
+# on u8/i16 FAILS TO LEGALIZE on the current Mosaic stack
+# (tools/perf/mosaic_probes.py a/b/f vs the passing c/g) — the u8 packing
+# utilities below are retained + tested for newer stacks.
 # Numerics: codes are exact; the only approximation is the A8 activation
 # quantization (per-token absmax/127) — the same error class as the
 # native int8 W4A8 path (nn/act_quant.py), measured near-lossless on the
@@ -744,24 +745,13 @@ def u8_words_from_packed(words, bits: int):
     return out[0] if len(out) == 1 else tuple(out)
 
 
-def _decode_codes_u8(words, f: int, tile_k: int):
-    """u8 words [TN, W8] -> u8 codes [TN, tile_k] (tile/shift/mask in u8)."""
-    W8 = words.shape[1]
-    per_byte = tile_k // W8
-    tiled = jnp.tile(words, (1, per_byte))
-    shift = ((lax.broadcasted_iota(jnp.int32, (1, tile_k), 1) // W8) * f
-             ).astype(jnp.uint8)
-    codes = lax.shift_right_logical(tiled, jnp.broadcast_to(shift, tiled.shape))
-    return codes & ((1 << f) - 1)
-
-
 def _affine_w2a8_kernel(x_ref, sx_ref, sumx_ref, s_ref, m_ref, *rest,
                         bits: int, tile_k: int, n_jsteps: int, block_k: int):
     """Int-domain affine code-dot; epilogue folds activation scale + affine.
 
     x_ref  [tile_b, block_k*tile_k] int8 (per-token absmax-quantized)
     sx_ref/sumx_ref [tile_b, 1] f32; s_ref/m_ref [1, tile_n] f32
-    rest[:-1] per-field u8 words [tile_n, block_k*W8_f]
+    rest[:-1] per-field int32 lane-tiled words [tile_n, block_k*W_f]
     """
     o_ref = rest[-1]
     w_refs = rest[:-1]
@@ -774,15 +764,10 @@ def _affine_w2a8_kernel(x_ref, sx_ref, sumx_ref, s_ref, m_ref, *rest,
 
     acc = None
     for t in range(block_k):
-        out, rem = None, bits
-        for w_ref, f in zip(w_refs, fs):
-            W8 = tile_k * f // 8
-            c = _decode_codes_u8(w_ref[:, t * W8:(t + 1) * W8], f, tile_k)
-            rem -= f
-            if rem:
-                c = c << rem
-            out = c if out is None else out | c
-        ci = out.astype(jnp.int8)  # codes < 2^bits <= 127 for bits <= 7
+        w_sub = [w_ref[:, t * (tile_k * f // 32):(t + 1) * (tile_k * f // 32)]
+                 for w_ref, f in zip(w_refs, fs)]
+        codes = _decode_fields(w_sub, bits, tile_k)
+        ci = codes.astype(jnp.int8)  # codes < 2^bits <= 127 for bits <= 7
         d = lax.dot_general(x_ref[:, t * tile_k:(t + 1) * tile_k], ci,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
@@ -797,23 +782,23 @@ def _affine_w2a8_kernel(x_ref, sx_ref, sumx_ref, s_ref, m_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k",
                                              "tile_b", "interpret"))
-def lut_matmul_affine_w2a8(x: jnp.ndarray, words_u8, srow: jnp.ndarray,
+def lut_matmul_affine_w2a8(x: jnp.ndarray, words, srow: jnp.ndarray,
                            mrow: jnp.ndarray, bits: int,
                            tile_n: int = 256, block_k: int = 0,
                            tile_b: int = 0,
                            interpret: bool = False) -> jnp.ndarray:
     """y[B, N] ~= x @ (m + s*codes)^T with int8-quantized activations.
 
-    ``words_u8``: u8 operand from pack_lane_tiled_u8 / u8_words_from_packed
+    ``words``: the SAME int32 lane-tiled operand as lut_matmul_affine
     (field tuple for composite widths). bits <= 7 (codes must fit int8)."""
     assert bits <= 7, bits
-    words_t = words_u8 if isinstance(words_u8, (tuple, list)) else (words_u8,)
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
     fs = FIELD_SPLIT[bits]
     B, K_pad = x.shape
     N = words_t[0].shape[0]
     TK = tile_k_for(bits)
-    W8s = [TK * f // 8 for f in fs]
-    n_ktiles = words_t[0].shape[1] // W8s[0]
+    Ws = [TK * f // 32 for f in fs]
+    n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)
     assert N % tile_n == 0, (N, tile_n)
     tile_b = tile_b or B
@@ -829,8 +814,8 @@ def lut_matmul_affine_w2a8(x: jnp.ndarray, words_u8, srow: jnp.ndarray,
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     sumx = jnp.sum(xf, axis=1, keepdims=True)
 
-    def _wspec(W8):
-        return pl.BlockSpec((tile_n, block_k * W8), lambda b, i, j: (i, j),
+    def _wspec(W_f):
+        return pl.BlockSpec((tile_n, block_k * W_f), lambda b, i, j: (i, j),
                             memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
@@ -848,7 +833,7 @@ def lut_matmul_affine_w2a8(x: jnp.ndarray, words_u8, srow: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, tile_n), lambda b, i, j: (0, i),
                                memory_space=pltpu.VMEM)]
-                 + [_wspec(W8) for W8 in W8s],
+                 + [_wspec(W_f) for W_f in Ws],
         out_specs=pl.BlockSpec((tile_b, tile_n), lambda b, i, j: (b, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
@@ -864,19 +849,19 @@ def lut_matmul_affine_w2a8(x: jnp.ndarray, words_u8, srow: jnp.ndarray,
     return y
 
 
-def lut_matmul_affine_w2a8_flex(x: jnp.ndarray, words_u8,
+def lut_matmul_affine_w2a8_flex(x: jnp.ndarray, words,
                                 srow: jnp.ndarray, mrow: jnp.ndarray,
                                 bits: int,
                                 out_features: Optional[int] = None
                                 ) -> jnp.ndarray:
-    """W2A8 affine wrapper: x [..., K]; mirrors lut_matmul_affine_flex."""
+    """W{b}A8 affine wrapper: x [..., K]; mirrors lut_matmul_affine_flex."""
     import os
-    words_t = words_u8 if isinstance(words_u8, (tuple, list)) else (words_u8,)
+    words_t = words if isinstance(words, (tuple, list)) else (words,)
     *lead, K = x.shape
     B = int(np.prod(lead)) if lead else 1
     TK = tile_k_for(bits)
-    W80 = TK * FIELD_SPLIT[bits][0] // 8
-    K_pad = words_t[0].shape[1] // W80 * TK
+    W0 = TK * FIELD_SPLIT[bits][0] // 32
+    K_pad = words_t[0].shape[1] // W0 * TK
     x2 = x.reshape(B, K)
     B_pad, tile_b = B, 0
     if B > MAX_BATCH:
@@ -888,7 +873,7 @@ def lut_matmul_affine_w2a8_flex(x: jnp.ndarray, words_u8,
     tile_n = (512 if N % 512 == 0 else 256 if N % 256 == 0
               else 128 if N % 128 == 0 else N)
     block_k = int(os.environ.get("AFFINE_BLOCK_K", "0"))
-    y = lut_matmul_affine_w2a8(x2, words_u8, srow, mrow, bits,
+    y = lut_matmul_affine_w2a8(x2, words, srow, mrow, bits,
                                tile_n=tile_n, block_k=block_k, tile_b=tile_b)
     if B_pad != B:
         y = y[:B]
@@ -1027,9 +1012,9 @@ def supported_affine(x, qwords, bits) -> bool:
     return _ntok(x) <= GEMM_MAX_TOKENS
 
 
-def supported_affine_w2a8(x, qwords_u8, bits) -> bool:
-    """W2A8 path: u8-word decode + int8 MXU dot (bits <= 7)."""
-    if qwords_u8 is None or bits not in AFFINE_BITS or bits > 7:
+def supported_affine_w2a8(x, qwords, bits) -> bool:
+    """W{b}A8 path: i32-word decode + int8 MXU dot (bits <= 7)."""
+    if qwords is None or bits not in AFFINE_BITS or bits > 7:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -72,12 +72,6 @@ def _anyprec_spec(w: AnyPrecLinear, oa: str) -> AnyPrecLinear:
         wq = tuple(wspec for _ in w.qwords)
     else:
         wq = wspec
-    if w.qwords_u8 is None:
-        wq8 = None
-    elif isinstance(w.qwords_u8, tuple):
-        wq8 = tuple(wspec for _ in w.qwords_u8)
-    else:
-        wq8 = wspec
     return AnyPrecLinear(
         qweight=qspec, luts=lspec, bias=None if w.bias is None else P(None),
         qwords=wq,
@@ -85,7 +79,6 @@ def _anyprec_spec(w: AnyPrecLinear, oa: str) -> AnyPrecLinear:
         gpoly=None if w.gpoly is None else cspec,
         srow=None if w.srow is None else rspec,
         mrow=None if w.mrow is None else rspec,
-        qwords_u8=wq8,
         precision=w.precision, out_features=w.out_features,
         in_features=w.in_features, act_bits=w.act_bits)
 

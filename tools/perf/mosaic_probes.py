@@ -153,6 +153,30 @@ elif variant == "f":
     ref = np.asarray(xq, np.int32) @ codes.astype(np.int32).T
     assert (y == ref).all()
 
+elif variant == "g":
+    # i32-word decode (proven tile/shift/mask chain) -> i32 codes -> i8
+    # cast -> int8 MXU dot vs int8 activations. The shift stays in i32
+    # (narrow-int shrui fails to legalize on this stack — probes a/b);
+    # the win is the 2x-rate int8 MXU dot on GEMM-sized batches.
+    W = TK * 2 // 32
+    words = jnp.asarray(rng.randint(-2**31, 2**31, (TN, W)).astype(np.int32))
+    xq = jnp.asarray(rng.randint(-127, 128, (8, TK)).astype(np.int8))
+
+    def k(x_ref, w_ref, o_ref):
+        per_word = 16
+        tiled = jnp.tile(w_ref[:], (1, per_word))
+        sh = (lax.broadcasted_iota(jnp.int32, (1, TK), 1) // W) * 2
+        c = lax.shift_right_logical(tiled, jnp.broadcast_to(sh, tiled.shape)) & 3
+        ci = c.astype(jnp.int8)
+        o_ref[:] = lax.dot_general(x_ref[:], ci, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    y = run_pallas(k, xq, words, out_dtype=jnp.int32)
+    w = np.asarray(words).view(np.uint32)
+    codes = np.concatenate([(w >> (2 * i)) & 3 for i in range(16)], axis=1)
+    ref = np.asarray(xq, np.int32) @ codes.astype(np.int32).T
+    assert (y == ref).all()
+
 else:
     raise SystemExit(f"unknown variant {variant}")
 
