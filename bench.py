@@ -263,7 +263,7 @@ def _run_8b(quick):
     build_cfg = cfg.replace(num_layers=4) if quick else cfg
     qparams, cfg_q = _build_quantized_device(build_cfg, bits=2)
     if os.environ.get("BENCH_ACT", "16") == "8":
-        # int-domain W2A8 kernels (u8-word decode + int8 MXU code-dot);
+        # int-domain W2A8 kernels (i32-word decode + int8 MXU code-dot);
         # the A8 activation quantization is the only numeric change —
         # near-lossless class (w4a8-spinquant ledger row).
         from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8

@@ -204,7 +204,10 @@ def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
         codes = unpack_bitplanes(w.qweight, bits)  # [N, K] in [0, 2^bits)
     lut = w.luts[bits].astype(dtype)  # [N, C]
     C = lut.shape[1]
-    if C <= 16:
+    if C <= 256:
+        # select-sum over LUT columns: C fusable elementwise passes, no
+        # [N, K, C] materialization (a one-hot einsum at C=256 would need
+        # 256x the weight elements of HBM)
         out = jnp.zeros(codes.shape, dtype)
         for c in range(C):
             out = out + jnp.where(codes == c, lut[:, c:c + 1],

@@ -181,14 +181,13 @@ def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
     elif w.kwords is not None:
         from ..ops import trellis_kernel as tk
         assert w.decode_mode in tk.KERNEL_MODES, w.decode_mode
-        if tk.supported(t, w.kwords, w.decode_mode):
-            *lead, nin = t.shape
-            B = 1
-            for s in lead:
-                B *= s
-            y = tk.trellis_matmul(t.reshape(B, nin), w.kwords, w.decode_mode,
-                                  cycle=w.cycle, L=w.L_bits, K=w.K)
-            y = y.reshape(*lead, m).astype(x.dtype)
+        if tk.supported_prefill(t, w.kwords, w.decode_mode):
+            # fused decode+matmul: one batch block on the decode hot loop,
+            # batch-tiled GEMM for prefill admission waves (no dense-weight
+            # materialization — mirrors the affine GEMM prefill path)
+            y = tk.trellis_matmul_flex(t, w.kwords, w.decode_mode,
+                                       cycle=w.cycle, L=w.L_bits,
+                                       K=w.K).astype(x.dtype)
         else:
             import jax as _jax
             if _jax.default_backend() in ("tpu", "axon"):

@@ -38,7 +38,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE_WORDS = 128  # W: words per lane-tile (one full lane register)
-KERNEL_BITS = (1, 2, 3, 4)  # bit-widths with a fused exact-poly kernel
+KERNEL_BITS = (1, 2, 3, 4, 5, 6, 7, 8)  # widths with a fused exact-poly
+# kernel (generic tensor-product resolve below). NOTE the pass count is
+# ~2^bits broadcast FMAs — at 7-8 bits the kernel exists for completeness
+# (serving arbitrary LUTs at every width, reference anyprec.cu:373-620)
+# but the affine family / dequant paths may win; see PERF_NOTES.
+
+# Exact-poly RESOLVE basis: the b-bit code is split MSB-first into <=2-bit
+# variables and the per-row LUT becomes a tensor-product interpolating
+# polynomial sum_I A[I] * prod_d v_d^{i_d} (each variable has nodes
+# {0..3}, so the Vandermonde solves stay well-conditioned in f32 — a
+# single degree-(2^b - 1) monomial fit would be unusable past ~4 bits).
+# Independent of FIELD_SPLIT (the *packing* layout).
+RESOLVE_SPLIT = {1: (1,), 2: (2,), 3: (2, 1), 4: (2, 2), 5: (2, 2, 1),
+                 6: (2, 2, 2), 7: (2, 2, 2, 1), 8: (2, 2, 2, 2)}
+
+
+def _resolve_node_map(f: int):
+    """(mul, add) affine map sending variable values {0..2^f-1} to centered
+    nodes in [-1, 1] (e.g. f=2: {-1,-1/3,1/3,1}). Monomial coefficients
+    over raw nodes {0..3} compound ~10x growth per tensor axis — f32
+    rounding reaches 0.26 abs err at 8 bits; centered nodes keep the
+    full 4-axis product at ~1e-5 (measured)."""
+    D = 1 << f
+    s = max((D - 1) / 2.0, 1.0)
+    return 1.0 / s, -(D - 1) / (2.0 * s)
 
 # Bit-widths without a native 32/bits word packing are composed of
 # power-of-two *fields*, MSB-first (any-precision property preserved:
@@ -177,64 +201,60 @@ def pad_to_tiles(codes: np.ndarray, bits: int):
 # LUT -> interpolating-polynomial coefficients (numpy f64, per row)
 # ---------------------------------------------------------------------------
 
+def _resolve_vars_np(codes: np.ndarray, bits: int):
+    """MSB-first RESOLVE_SPLIT variables of the combined codes, mapped to
+    the centered nodes (f64)."""
+    out, rem = [], bits
+    for f in RESOLVE_SPLIT[bits]:
+        rem -= f
+        mul, add = _resolve_node_map(f)
+        v = ((codes >> rem) & ((1 << f) - 1)).astype(np.float64)
+        out.append(v * mul + add)
+    return out
+
+
 def lut_to_poly(lut: np.ndarray, bits: int) -> np.ndarray:
     """[N, 2^bits] LUT values -> [N, 2^bits] polynomial coefficients.
 
-    bits <= 2: monomial basis in c (Vandermonde solve).
-    bits == 3: c = 2*hi + lo (hi: the 2-bit parent code, lo: the extra
-               bit-plane — matching the kernel's (2, 1) field split);
-               w = sum_{i,j} A[2i+j] hi^i lo^j  (A = V4^-1 L V2^-T).
-    bits == 4: c = 4*hi + lo; coefficients A with
-               w = sum_{i,j} A[4i+j] hi^i lo^j  (A = V^-1 L V^-T).
-    Exact at every code value; computed in f64.
+    Tensor-product interpolating polynomial over the RESOLVE_SPLIT
+    variables (MSB-first):  w(c) = sum_I A[I] * prod_d v_d^{i_d},
+    A = L x_d V_d^{-1} with V_d the (<=4-point) Vandermonde of variable d.
+    Exact at every code value; computed in f64. Flat coefficient layout is
+    row-major over (i_1, ..., i_D) — e.g. bits=3: A[2i+j] hi^i lo^j.
     """
     lut64 = np.asarray(lut, np.float64)
     N, C = lut64.shape
-    if bits in (1, 2):
-        V = np.vander(np.arange(C, dtype=np.float64), C, increasing=True)
-        coef = np.linalg.solve(V[None].repeat(1, axis=0)[0], lut64.T).T
-        return np.ascontiguousarray(coef, dtype=np.float32)
-    if bits == 3:
-        V4 = np.vander(np.arange(4, dtype=np.float64), 4, increasing=True)
-        V2 = np.vander(np.arange(2, dtype=np.float64), 2, increasing=True)
-        Vi4, Vi2 = np.linalg.inv(V4), np.linalg.inv(V2)
-        L = lut64.reshape(N, 4, 2)  # [hi, lo]
-        A = np.einsum("ih,nhl,jl->nij", Vi4, L, Vi2)
-        return np.ascontiguousarray(A.reshape(N, 8), dtype=np.float32)
-    if bits == 4:
-        V = np.vander(np.arange(4, dtype=np.float64), 4, increasing=True)
+    fs = RESOLVE_SPLIT[bits]
+    dims = tuple(1 << f for f in fs)
+    A = lut64.reshape((N,) + dims)
+    for ax, (f, D) in enumerate(zip(fs, dims)):
+        mul, add = _resolve_node_map(f)
+        nodes = np.arange(D, dtype=np.float64) * mul + add
+        V = np.vander(nodes, D, increasing=True)
         Vi = np.linalg.inv(V)
-        L = lut64.reshape(N, 4, 4)  # [hi, lo]
-        A = np.einsum("ih,nhl,jl->nij", Vi, L, Vi)
-        return np.ascontiguousarray(A.reshape(N, 16), dtype=np.float32)
-    raise NotImplementedError(f"no poly form for bits={bits}")
+        # contract axis ax+1 with Vi: A'[.., i, ..] = sum_h Vi[i, h] A[.., h, ..]
+        A = np.moveaxis(np.tensordot(A, Vi, axes=([ax + 1], [1])), -1, ax + 1)
+    return np.ascontiguousarray(A.reshape(N, C), dtype=np.float32)
 
 
 def poly_eval_np(coef: np.ndarray, codes: np.ndarray, bits: int) -> np.ndarray:
-    """Oracle for the in-kernel evaluation."""
-    c = codes.astype(np.float64)
-    if bits in (1, 2):
-        out = np.zeros_like(c)
-        for i in range(coef.shape[1] - 1, -1, -1):
-            out = out * c + coef[:, i][:, None]
+    """Oracle for the in-kernel evaluation (nested Horner, f64)."""
+    fs = RESOLVE_SPLIT[bits]
+    dims = tuple(1 << f for f in fs)
+    N = coef.shape[0]
+    A = coef.reshape((N,) + dims).astype(np.float64)
+    vs = _resolve_vars_np(codes, bits)
+
+    def ev(Asub, d):
+        if d == len(fs):
+            return Asub[:, None]  # [N, 1] broadcast over K
+        out = None
+        for i in range(dims[d] - 1, -1, -1):
+            gi = ev(Asub[:, i], d + 1)
+            out = gi if out is None else out * vs[d] + gi
         return out
-    if bits == 3:
-        hi, lo = np.float64(codes >> 1), np.float64(codes & 1)
-        A = coef.reshape(-1, 4, 2)
-        g = np.zeros_like(c)
-        for i in range(3, -1, -1):
-            gi = A[:, i, 0][:, None] + A[:, i, 1][:, None] * lo
-            g = g * hi + gi
-        return g
-    hi, lo = np.float64(codes >> 2), np.float64(codes & 3)
-    A = coef.reshape(-1, 4, 4)
-    g = np.zeros_like(c)
-    for i in range(3, -1, -1):
-        gi = np.zeros_like(c)
-        for j in range(3, -1, -1):
-            gi = gi * lo + A[:, i, j][:, None]
-        g = g * hi + gi
-    return g
+
+    return ev(A, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -265,36 +285,34 @@ def _decode_fields(w_refs, bits: int, tile_k: int):
 
 
 def _poly_resolve(codes, coef_ref, bits: int):
-    """codes [TN, TK] int32 -> dequantized f32 tile via per-row Horner."""
-    if bits in (1, 2):
-        C = 2 ** bits
-        cf = codes.astype(jnp.float32)
-        w = coef_ref[:, C - 1][:, None]
-        for i in range(C - 2, -1, -1):
-            w = w * cf + coef_ref[:, i][:, None]
-        return w
-    if bits == 3:
-        # (2, 1) tensor-product basis: hi = 2-bit parent code, lo = extra
-        # plane. w = Horner_hi(A[:, i, 0] + A[:, i, 1] * lo); ~7 broadcast
-        # FMA passes vs 15 for the 4-bit (2, 2) form.
-        hi = (codes >> 1).astype(jnp.float32)
-        lo = (codes & 1).astype(jnp.float32)
-        w = None
-        for i in range(3, -1, -1):
-            gi = coef_ref[:, 2 * i][:, None] + coef_ref[:, 2 * i + 1][:, None] * lo
-            w = gi if w is None else w * hi + gi
-        return w
-    if bits == 4:
-        hi = (codes >> 2).astype(jnp.float32)
-        lo = (codes & 3).astype(jnp.float32)
-        w = None
-        for i in range(3, -1, -1):
-            gi = coef_ref[:, 4 * i + 3][:, None]
-            for j in range(2, -1, -1):
-                gi = gi * lo + coef_ref[:, 4 * i + j][:, None]
-            w = gi if w is None else w * hi + gi
-        return w
-    raise NotImplementedError
+    """codes [TN, TK] int32 -> dequantized f32 tile via per-row nested
+    Horner over the RESOLVE_SPLIT variables (~2^bits broadcast FMA passes;
+    statically unrolled). e.g. bits=3: w = Horner_hi(A[2i] + A[2i+1]*lo),
+    ~7 passes; bits=5 ((2,2,1)): ~31; bits=8 ((2,2,2,2)): ~255 — see
+    KERNEL_BITS note for the 7-8-bit economics."""
+    fs = RESOLVE_SPLIT[bits]
+    dims = tuple(1 << f for f in fs)
+    # variables MSB-first from the combined codes, mapped to the centered
+    # nodes (one FMA per variable; keeps f32 coefficients well-conditioned)
+    vs, rem = [], bits
+    for f in fs:
+        rem -= f
+        v = lax.shift_right_logical(codes, rem) & ((1 << f) - 1) if rem \
+            else codes & ((1 << f) - 1)
+        mul, add = _resolve_node_map(f)
+        vs.append(v.astype(jnp.float32) * jnp.float32(mul)
+                  + jnp.float32(add))
+
+    def ev(flat, d):
+        if d == len(fs):
+            return coef_ref[:, flat][:, None]
+        out = None
+        for i in range(dims[d] - 1, -1, -1):
+            gi = ev(flat * dims[d] + i, d + 1)
+            out = gi if out is None else out * vs[d] + gi
+        return out
+
+    return ev(0, 0)
 
 
 def _lut_matmul_kernel(x_ref, coef_ref, *rest, bits: int,
@@ -337,6 +355,11 @@ def lut_matmul_tiled(x: jnp.ndarray, words, coef: jnp.ndarray,
     B, K_pad = x.shape
     N = words_t[0].shape[0]
     TK = tile_k_for(bits)
+    if bits >= 5 and TK >= 4096 and tile_n > 128 and N % 128 == 0:
+        # wide-bit resolve holds len(RESOLVE_SPLIT)+2 [tile_n, TK] f32
+        # temporaries on the Mosaic stack; tile_n=256 at TK=4096 blows the
+        # 16 MB scoped-vmem limit (measured OOM at bits=7)
+        tile_n = 128
     Ws = [TK * f // 32 for f in fs]
     n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)
@@ -718,10 +741,13 @@ def pack_lane_tiled_u8(codes: np.ndarray, bits: int):
 
 
 def u8_words_from_packed(words, bits: int):
-    """Traceable one-time repack: int32 lane-tiled words -> u8 operand.
+    """Traceable repack: int32 lane-tiled words -> u8 operand.
 
-    Done once at weight-bind time (engine unroll / with_kernel_layout), so
-    the stored checkpoint format stays the canonical int32 layout."""
+    NOT wired into any production path: the shipping w2a8 kernel decodes
+    the canonical int32 words (u8 shift/mask fails to legalize on this
+    Mosaic stack — tools/perf/mosaic_probes.py a/b/f). Retained + tested
+    so a newer stack can bind the u8 operand at weight-bind time without
+    changing the stored checkpoint format."""
     words_t = words if isinstance(words, (tuple, list)) else (words,)
     fs = FIELD_SPLIT[bits]
     TK = tile_k_for(bits)

@@ -284,12 +284,12 @@ def _tile_states(w_ref, tile_n: int, tile_k: int, L: int, K: int):
 
 def _trellis_matmul_kernel(x_ref, w_ref, o_ref, *, mode: str, tile_n: int,
                            tile_k: int, L: int, K: int):
-    """Grid (m/tile_n, n/tile_k); f32 accumulation over the k axis.
+    """Grid (B/tile_b, m/tile_n, n/tile_k); f32 accumulation over k.
 
-    x_ref [B, tile_k] bf16; w_ref [tile_n*K/32, tile_k] int32 (or
-    [3, tile_n/32, tile_k] for K=3); o_ref [B, tile_n].
+    x_ref [tile_b, tile_k] bf16; w_ref [tile_n*K/32, tile_k] int32 (or
+    [3, tile_n/32, tile_k] for K=3); o_ref [tile_b, tile_n].
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -320,15 +320,21 @@ def _dims_from_words(words, cycle: int, K: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "cycle", "tile_k", "L", "K",
-                                    "interpret"))
+                                    "tile_b", "interpret"))
 def trellis_matmul(x: jnp.ndarray, words: jnp.ndarray, mode: str = "2mad",
                    cycle: int = CYCLE, tile_k: int = 512, L: int = 16,
-                   K: int = 2, interpret: bool = False) -> jnp.ndarray:
+                   K: int = 2, tile_b: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
     """y[B, m] = x[B, n] @ decode(words)^T.
 
     words: [m*K/32, n] int32 (uniform K) or [3, m/32, n] (K=3).
     tile_n is pinned to ``cycle`` so the in-kernel sublane roll realizes
     the cyclic wrap exactly.
+    ``tile_b``: batch rows per grid block (0 = all of B in one block —
+    the decode path). The prefill GEMM path passes tile_b to stream
+    weight tiles across batch blocks (mirrors lut_matmul_affine);
+    each batch block re-decodes the trellis, so the flex wrapper caps
+    the token count.
     """
     B, n = x.shape
     m, n2 = _dims_from_words(words, cycle, K)
@@ -336,34 +342,66 @@ def trellis_matmul(x: jnp.ndarray, words: jnp.ndarray, mode: str = "2mad",
     tile_n = cycle
     tile_k = min(tile_k, n)
     assert m % tile_n == 0 and n % tile_k == 0, (m, n, tile_n, tile_k)
+    tile_b = tile_b or B
+    assert B % tile_b == 0, (B, tile_b)
 
     if K == 3:
         wspec = pl.BlockSpec((3, tile_n // 32, tile_k),
-                             lambda i, j: (0, i, j),
+                             lambda b, i, j: (0, i, j),
                              memory_space=pltpu.VMEM)
     else:
         wspec = pl.BlockSpec((tile_n * K // 32, tile_k),
-                             lambda i, j: (i, j), memory_space=pltpu.VMEM)
+                             lambda b, i, j: (i, j),
+                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_trellis_matmul_kernel, mode=mode, tile_n=tile_n,
                           tile_k=tile_k, L=L, K=K),
-        grid=(m // tile_n, n // tile_k),
+        grid=(B // tile_b, m // tile_n, n // tile_k),
         in_specs=[
-            pl.BlockSpec((B, tile_k), lambda i, j: (0, j),
+            pl.BlockSpec((tile_b, tile_k), lambda b, i, j: (b, j),
                          memory_space=pltpu.VMEM),
             wspec,
         ],
-        out_specs=pl.BlockSpec((B, tile_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((tile_b, tile_n), lambda b, i, j: (b, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * m * n + (40 if K == 3 else 24) * m * n,
-            bytes_accessed=m * n * K // 8 + B * n * 2 + B * m * 4,
+            flops=2 * B * m * n
+            + (40 if K == 3 else 24) * m * n * (B // tile_b),
+            bytes_accessed=(m * n * K // 8) * (B // tile_b)
+            + B * n * 2 + B * m * 4,
             transcendentals=0),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), words)
     return out
+
+
+def trellis_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, mode: str,
+                        cycle: int = CYCLE, L: int = 16, K: int = 2,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Shape-flexible wrapper: x [..., n]; pads/tiles the batch.
+
+    Serves both the decode hot loop (B <= MAX_BATCH: one batch block) and
+    prefill admission waves (batch-tiled GEMM, no dense-weight
+    materialization — the trellis analog of lut_matmul_affine_flex;
+    VERDICT r3 next 8)."""
+    *lead, n = x.shape
+    B = 1
+    for s in lead:
+        B *= s
+    x2 = x.reshape(B, n)
+    B_pad, tile_b = B, 0
+    if B > MAX_BATCH:
+        tile_b = min(GEMM_TILE_B, ((B + 7) // 8) * 8)
+        B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if B_pad != B:
+        x2 = jnp.pad(x2, ((0, B_pad - B), (0, 0)))
+    y = trellis_matmul(x2, words, mode, cycle=cycle, L=L, K=K,
+                       tile_b=tile_b, interpret=interpret)
+    if B_pad != B:
+        y = y[:B]
+    return y.reshape(*lead, -1)
 
 
 @functools.partial(jax.jit,
@@ -405,6 +443,19 @@ def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
 # a block-row dimension of the grid, and decode passes are shared across
 # it — B=64 measured working on the affine kernels (3906 tok/s at 8B).
 MAX_BATCH = 64
+GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
+# Prefill GEMM cap: each batch block re-streams + re-decodes the trellis
+# (~18-24 VPU ops/element — pricier than the affine decode), so past a
+# few blocks the one-time dequant-to-dense path wins. Admission waves in
+# the batcher (slots * padded prompt rows per wave) sit under this.
+GEMM_MAX_TOKENS = 1024
+
+
+def _ntok(x) -> int:
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    return n
 
 
 def supported(x, kwords, mode: str) -> bool:
@@ -412,7 +463,13 @@ def supported(x, kwords, mode: str) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    ntok = 1
-    for s in x.shape[:-1]:
-        ntok *= s
-    return ntok <= MAX_BATCH
+    return _ntok(x) <= MAX_BATCH
+
+
+def supported_prefill(x, kwords, mode: str) -> bool:
+    """Batch-tiled GEMM path (decode + prefill admission waves)."""
+    if kwords is None or mode not in KERNEL_MODES:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return _ntok(x) <= GEMM_MAX_TOKENS

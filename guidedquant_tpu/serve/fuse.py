@@ -60,7 +60,8 @@ def _concat_linears(ws, axis_n: int):
             gpoly=gpoly, srow=srow, mrow=mrow,
             precision=first.precision,
             out_features=sum(w.out_features for w in ws),
-            in_features=first.in_features)
+            in_features=first.in_features,
+            act_bits=first.act_bits)
     if isinstance(first, ActQuantLinear):
         return ActQuantLinear(
             weight=jnp.concatenate([w.weight for w in ws], axis=axis_n),

@@ -276,6 +276,123 @@ def test_lnq_affine_end_to_end(rng):
     assert log_a["objective"][-1] <= log_a["objective"][0] + 1e-9
 
 
+def _w2a8_oracle(x, codes, s, m):
+    """Exact A8 semantics of lut_matmul_affine_w2a8: per-token absmax/127
+    activation quantization, exact int code-dot, affine epilogue."""
+    sx = np.maximum(np.abs(x).max(1, keepdims=True), 1e-30) / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127)
+    return ((sx * xq) @ (s[:, None] * codes.astype(np.float32)).T
+            + x.sum(1, keepdims=True) * m[None, :])
+
+
+@pytest.mark.parametrize("bits,B", [(2, 1), (2, 4), (3, 1), (4, 2), (7, 1)])
+def test_w2a8_kernel_matches_oracle(bits, B, rng):
+    """Int-domain W{b}A8 kernel vs the A8 oracle (decode-batch shapes);
+    consumes the SAME int32 lane-tiled operand as the bf16 affine kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from guidedquant_tpu.ops.lut_kernels import lut_matmul_affine_w2a8
+    TK = tile_k_for(bits)
+    N, K = 256, TK
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    _, s, m = _affine_luts(rng, N, C)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    packed = pack_lane_tiled(codes, bits)
+    words = (tuple(jnp.asarray(p) for p in packed)
+             if isinstance(packed, tuple) else jnp.asarray(packed))
+    ref = _w2a8_oracle(x, codes, s, m)
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine_w2a8(jnp.asarray(x), words, jnp.asarray(s),
+                                   jnp.asarray(m), bits, tile_n=128)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=1e-5)
+
+
+def test_w2a8_gemm_batch_tiled_and_k_pad(rng):
+    """flex wrapper: B > MAX_BATCH batch tiling + K padding both match the
+    oracle (padded K positions carry x = 0, so neither the int dot nor the
+    sum(x)*m epilogue sees them)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from guidedquant_tpu.ops import lut_kernels
+    from guidedquant_tpu.ops.lut_kernels import (
+        lut_matmul_affine_w2a8_flex, pad_to_tiles)
+    bits = 2
+    N, K, B = 128, 100, lut_kernels.MAX_BATCH + 16  # K and B both pad
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    _, s, m = _affine_luts(rng, N, C)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    padded, _ = pad_to_tiles(codes, bits)
+    words = jnp.asarray(pack_lane_tiled(padded, bits))
+    ref = _w2a8_oracle(x, codes, s, m)
+    with pltpu.force_tpu_interpret_mode():
+        y = lut_matmul_affine_w2a8_flex(jnp.asarray(x), words,
+                                        jnp.asarray(s), jnp.asarray(m),
+                                        bits, out_features=N)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=1e-5)
+
+
+def test_with_act8_dispatch(rng, monkeypatch):
+    """with_act8 engages the w2a8 route only for affine-path leaves and
+    apply_linear then matches the A8 oracle; gpoly/no-kernel/wide leaves
+    are no-ops."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from guidedquant_tpu.nn.linear import (
+        AnyPrecLinear, with_kernel_layout, with_act8, apply_linear)
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 2, 128, 128
+    C = 2 ** bits
+    codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+    lut, s, m = _affine_luts(rng, N, C)
+    q = pack_bitplanes(codes, bits)
+    w = with_kernel_layout(AnyPrecLinear(
+        qweight=jnp.asarray(q), luts={bits: jnp.asarray(lut)},
+        precision=bits, out_features=N, in_features=K))
+    w8 = with_act8(w)
+    assert w8.act_bits == 8
+    # dispatch gate is backend-conditioned; force it for the CPU test
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x = rng.normal(size=(2, K)).astype(np.float32)
+    ref = _w2a8_oracle(x, codes, np.asarray(w.srow), np.asarray(w.mrow))
+    with pltpu.force_tpu_interpret_mode():
+        y = apply_linear(w8, jnp.asarray(x))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(y) / scale, ref / scale, atol=1e-5)
+
+    # no-ops: leaf without kernel operands; wide precision
+    w_plain = AnyPrecLinear(qweight=jnp.asarray(q),
+                            luts={bits: jnp.asarray(lut)},
+                            precision=bits, out_features=N, in_features=K)
+    assert with_act8(w_plain).act_bits == 16
+    w_wide = w.replace(precision=8)
+    assert with_act8(w_wide).act_bits == 16
+
+
+def test_fuse_preserves_act_bits(rng):
+    """fuse_projections must thread act_bits through (ADVICE r3: silent
+    reset to 16 would drop the int8 path on act8-then-fuse ordering)."""
+    from guidedquant_tpu.nn.linear import (
+        AnyPrecLinear, with_kernel_layout, with_act8)
+    from guidedquant_tpu.serve.fuse import _concat_linears
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+    bits, N, K = 2, 128, 128
+    C = 2 ** bits
+    ws = []
+    for _ in range(3):
+        codes = rng.integers(0, C, size=(N, K), dtype=np.uint8)
+        lut, _, _ = _affine_luts(rng, N, C)
+        w = with_kernel_layout(AnyPrecLinear(
+            qweight=jnp.asarray(pack_bitplanes(codes, bits)),
+            luts={bits: jnp.asarray(lut)},
+            precision=bits, out_features=N, in_features=K))
+        ws.append(with_act8(w))
+    fused = _concat_linears(ws, axis_n=0)
+    assert fused.act_bits == 8
+    assert fused.out_features == 3 * N
+
+
 def test_unpack_lane_tiled_traceable_matches_np():
     """jnp lane-tiled unpack (device prefill path) == numpy oracle, all
     widths incl. composite fields."""

@@ -61,7 +61,7 @@ def test_pad_to_tiles(rng):
 
 
 @pytest.mark.parametrize("bits,B", [(1, 1), (2, 1), (2, 4), (3, 1), (3, 4),
-                                    (4, 1)])
+                                    (4, 1), (5, 1), (6, 2), (7, 1), (8, 1)])
 def test_kernel_matches_dequant_oracle(bits, B, rng):
     from jax.experimental.pallas import tpu as pltpu
     TK = tile_k_for(bits)
@@ -150,7 +150,7 @@ def test_with_kernel_layout_3bit_free_lut(rng):
     np.testing.assert_allclose(got, dense, atol=1e-4 * np.abs(dense).max())
 
 
-@pytest.mark.parametrize("bits", [1, 2, 3, 4])
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_poly_is_exact_interpolation(bits):
     """lut_to_poly coefficients must reproduce every LUT entry exactly
     (up to f32 coefficient rounding, which is well below bf16 decode

@@ -67,6 +67,44 @@ tot = jax.jit(shard_map(
     lambda a: jax.lax.psum(a.sum(), ("dp", "tp")),
     mesh=mesh, in_specs=P(("dp", "tp")), out_specs=P()))(ones)
 assert float(jax.device_get(tot)) == 28.0, float(tot)
+
+# --- the serving ENGINE across the process boundary (VERDICT r3 next 6):
+# tp-sharded prefill + greedy decode_n_tokens must reproduce the
+# process-LOCAL single-device token stream.
+from guidedquant_tpu.models import llama, get_config
+from guidedquant_tpu.parallel import make_mesh, sharding as shd
+from guidedquant_tpu.serve import engine
+
+cfg = get_config("tiny").replace(
+    vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=4, num_kv_heads=4, max_seq_len=32)
+params = jax.tree_util.tree_map(
+    lambda x: np.asarray(jax.device_get(x)),
+    llama.init_params(cfg, jax.random.PRNGKey(0)))  # same seed both procs
+prompt = np.array([[5, 9, 3, 77]], dtype=np.int32)
+n_new = 8
+
+def run(p, kv_sharding=None):
+    state = engine.init_state(cfg, cfg.num_layers, 1, 32,
+                              dtype=jnp.float32, sharding=kv_sharding)
+    logits, state = engine.prefill(p, cfg, jnp.asarray(prompt), state)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32).reshape(1)
+    toks, _, _ = engine.decode_n_tokens(p, cfg, tok, state, n_new)
+    return np.asarray(jax.device_get(toks), np.int32)
+
+ref = run(params)  # local single-device reference (numpy params)
+
+emesh = make_mesh(8, shape={"dp": 1, "fsdp": 2, "tp": 4})
+specs = shd.to_named(emesh, shd.dense_param_specs(cfg))
+sp = jax.tree_util.tree_map(
+    lambda x, s: jax.make_array_from_callback(
+        np.shape(x), s, lambda idx, x=x: np.asarray(x)[idx]),
+    params, specs)
+kv_shard = NamedSharding(emesh, shd.kv_cache_spec())
+with emesh:
+    got = run(sp, kv_shard)
+np.testing.assert_array_equal(got, ref)
+print(f"ENGINE OK process {pid}")
 print(f"OK process {pid}")
 '''
 
@@ -110,3 +148,4 @@ def test_two_process_init_and_tp_parity(tmp_path):
             pytest.skip(f"no multi-process CPU collectives: {out[-200:]}")
         assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
         assert f"OK process {i}" in out, out[-2000:]
+        assert f"ENGINE OK process {i}" in out, out[-2000:]

@@ -85,6 +85,36 @@ def test_trellis_matmul_interpret_vs_oracle(cb, rng):
     np.testing.assert_allclose(d, dense, atol=1e-6)
 
 
+def test_trellis_matmul_batch_tiled_gemm(cb, rng):
+    """Prefill GEMM path (B > MAX_BATCH): batch grid axis streams weight
+    tiles per batch block; flex wrapper pads/slices the batch (the trellis
+    analog of the affine GEMM prefill, VERDICT r3 next 8)."""
+    m_, n_, cycle = 64, 256, 64
+    states = _random_cyclic_states((m_ // cycle) * n_, cycle, rng)
+    Qidxs = (states.reshape(m_ // cycle, n_, cycle)
+             .transpose(0, 2, 1).reshape(m_, n_))
+    words = tk.states_to_kwords(cb, Qidxs, cycle=cycle)
+    dense = tk.decode_kwords_dense_np(cb, words, m_, n_, cycle=cycle)
+
+    B = tk.MAX_BATCH + 9  # forces the tiled path + batch padding
+    x = rng.normal(size=(B, n_)).astype(np.float32)
+    y_ref = x @ dense.T
+    # explicit multi-block grid
+    xp = np.pad(x, ((0, 80 - B), (0, 0)))
+    y = np.asarray(tk.trellis_matmul(
+        jnp.asarray(xp), jnp.asarray(words), cb.decode_mode,
+        cycle=cycle, tile_k=128, tile_b=40, interpret=True))
+    np.testing.assert_allclose(y[:B], y_ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(y_ref).max())
+    assert np.abs(y[B:]).max() < 1e-6
+    # flex wrapper (auto pad/tile/slice) incl. leading dims
+    yf = np.asarray(tk.trellis_matmul_flex(
+        jnp.asarray(x.reshape(1, B, n_)), jnp.asarray(words),
+        cb.decode_mode, cycle=cycle, interpret=True))
+    np.testing.assert_allclose(yf.reshape(B, m_), y_ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(y_ref).max())
+
+
 def test_ldlq_col_and_kernel_e2e(cb, rng):
     """LDLQ with column-cyclic sequences -> kwords -> kernel decode
     reproduces the solver's own hatWr exactly, at tile256-level quality."""

@@ -27,7 +27,7 @@ if os.environ.get("Q8B_PATH", "kernel") == "dequant":
             lay[k] = v.replace(pcoef=None, srow=None, mrow=None, gpoly=None)
     qp = dict(qp, layers=lay)
 if os.environ.get("Q8B_ACT", "16") == "8":
-    # int-domain W{b}A8 kernels: u8-word decode + int8 MXU code-dot
+    # int-domain W{b}A8 kernels: i32-word decode + int8 MXU code-dot
     from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
     lay = dict(qp["layers"])
     for k, v in lay.items():

@@ -34,16 +34,15 @@ s = (rng.normal(size=N) * 0.02).astype(np.float32)
 m = (rng.normal(size=N) * 0.002).astype(np.float32)
 x = rng.normal(size=(B, K_pad)).astype(np.float32)
 
-u8 = lk.pack_lane_tiled_u8(codes, BITS)
-u8 = tuple(jnp.asarray(u) for u in u8) if isinstance(u8, tuple) \
-    else jnp.asarray(u8)
+# the w2a8 kernel consumes the SAME int32 lane-tiled operand as the bf16
+# affine kernel (the u8 packing utilities are for newer Mosaic stacks only)
 i32 = lk.pack_lane_tiled(codes, BITS)
 i32 = tuple(jnp.asarray(w) for w in i32) if isinstance(i32, tuple) \
     else jnp.asarray(i32)
 xd = jnp.asarray(x)
 sd, md = jnp.asarray(s), jnp.asarray(m)
 
-y = np.asarray(lk.lut_matmul_affine_w2a8(xd, u8, sd, md, BITS))
+y = np.asarray(lk.lut_matmul_affine_w2a8(xd, i32, sd, md, BITS))
 # oracle with identical A8 quantization semantics
 sx = np.maximum(np.abs(x).max(1, keepdims=True), 1e-30) / 127.0
 xq = np.clip(np.round(x / sx), -127, 127)
@@ -70,7 +69,7 @@ def timed(fn, *args, iters=200):
     return (time.perf_counter() - t0) / iters
 
 
-t_int = timed(lambda xx, *a: lk.lut_matmul_affine_w2a8(xx, u8, sd, md, BITS),
+t_int = timed(lambda xx, *a: lk.lut_matmul_affine_w2a8(xx, i32, sd, md, BITS),
               xd)
 t_bf = timed(lambda xx, *a: lk.lut_matmul_affine(xx, i32, sd, md, BITS),
              xd)

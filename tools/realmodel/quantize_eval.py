@@ -85,9 +85,15 @@ def main():
     def run(bits, family, nosal=False, groups=1, act8=False):
         key = f"{bits}bit-{family}" + ("-nosal" if nosal else "")
         if act8:
-            key += "-a8"  # int-domain W{b}A8 kernel path (u8 decode +
+            key += "-a8"  # int-domain W{b}A8 kernel path (i32 decode +
             # int8 MXU dot): ppl-validates exactly what the fast kernel
             # serves when activations are absmax-int8 quantized
+            import jax
+            assert jax.default_backend() in ("tpu", "axon"), (
+                f"act8 requested on backend={jax.default_backend()!r}: "
+                "supported_affine_w2a8 silently falls back to full-"
+                "precision activations off-TPU, so the recorded row "
+                "would mislabel fp activations as A8 — run on hardware")
         if groups != 1:
             key += f"-g{groups}"
         if has_result(args.results, name, "ppl", "pycorpus-val", key):
