@@ -28,7 +28,54 @@ NEW_TOK = int(os.environ.get("NEW_TOK", "96"))
 KV_BITS = int(os.environ.get("SERVED_KV_BITS", "16"))
 
 GEOM = os.environ.get("SERVED_GEOM", "1b")
-if GEOM == "8b":
+if GEOM == "8b" and os.environ.get("SERVED_FAMILY", "affine") == "trellis":
+    # 8B QTIP trellis served through the batcher: decode via the fused
+    # kernel, prefill via the batch-tiled trellis GEMM (no dense-weight
+    # materialization — VERDICT r3 next 8). Device-built kernel words.
+    import jax
+    from guidedquant_tpu.nn.trellis import TrellisLinear
+    K_TR = int(os.environ.get("SERVED_TRELLIS_K", "2"))
+    MODE = os.environ.get("SERVED_TRELLIS_MODE", "tpu2u")
+    cfg = get_config("llama-3.1-8b").replace(max_seq_len=1024,
+                                             tie_word_embeddings=False)
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    keys = iter(jax.random.split(jax.random.PRNGKey(11), 64))
+
+    def tlin(out_f, in_f):
+        L = cfg.num_layers
+        shape = ((L, 3, out_f // 32, in_f) if K_TR == 3
+                 else (L, out_f * K_TR // 32, in_f))
+        kw = jax.random.randint(next(keys), shape, -2**31, 2**31 - 1,
+                                jnp.int32)
+        su = (jax.random.randint(next(keys), (L, in_f), 0, 2) * 2 - 1
+              ).astype(jnp.bfloat16)
+        sv = (jax.random.randint(next(keys), (L, out_f), 0, 2) * 2 - 1
+              ).astype(jnp.float32)
+        return TrellisLinear(
+            trellis=jnp.zeros((L, 1, 1), jnp.uint16),
+            SU=su, SV=sv, Wscale=jnp.full((L,), 0.02, jnp.float32),
+            kwords=kw, decode_mode=MODE, K=K_TR, V=1,
+            out_features=out_f, in_features=in_f)
+
+    L = cfg.num_layers
+    params = {
+        "embed": (jnp.zeros((cfg.vocab_size, d), jnp.bfloat16)),
+        "layers": {
+            "attn_norm": jnp.ones((L, d), jnp.bfloat16),
+            "mlp_norm": jnp.ones((L, d), jnp.bfloat16),
+            "q_proj": tlin(cfg.q_dim, d),
+            "k_proj": tlin(cfg.kv_dim, d),
+            "v_proj": tlin(cfg.kv_dim, d),
+            "o_proj": tlin(d, cfg.q_dim),
+            "gate_proj": tlin(f, d),
+            "up_proj": tlin(f, d),
+            "down_proj": tlin(d, f),
+        },
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": quantize_int8(jnp.ones((cfg.vocab_size, d),
+                                          jnp.bfloat16) * 0.02),
+    }
+elif GEOM == "8b":
     # north-star model, built device-side (see bench._build_quantized_device)
     import importlib
     bench = importlib.import_module("bench")
