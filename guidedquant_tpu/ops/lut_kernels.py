@@ -28,6 +28,7 @@ canonical bit-plane checkpoint format.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -649,12 +650,15 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
 
 
 GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
-# Fused-GEMM prefill cap: each batch block re-streams + re-decodes the
-# packed weights, so past ~8 blocks the one-time dequant-to-dense path
-# (~4.25 bytes/weight at 2-bit) is cheaper than nb * bits/8 + nb decode
-# passes. Admission waves in the batcher (slots * padded prompt) sit well
-# under this.
-GEMM_MAX_TOKENS = 2048
+# Fused-GEMM prefill cap: each batch block re-streams + re-DECODES the
+# packed weights, so the fused path only wins while the wave fits ONE
+# batch block (decode happens once and the dense materialization is
+# saved). Beyond that, nb x decode-ALU loses to dequant's 1 x decode +
+# ~4 bytes/weight HBM: MEASURED r4 at 1B 32 slots (1024-token waves,
+# nb=4): 2085 served tok/s with the GEMM path vs 3291 with dequant.
+# Overridable for A/B via AFFINE_GEMM_MAX_TOKENS.
+GEMM_MAX_TOKENS = int(os.environ.get("AFFINE_GEMM_MAX_TOKENS",
+                                     str(GEMM_TILE_B)))
 
 
 def lut_matmul_affine_flex(x: jnp.ndarray, words,

@@ -445,10 +445,11 @@ def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
 MAX_BATCH = 64
 GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
 # Prefill GEMM cap: each batch block re-streams + re-decodes the trellis
-# (~18-24 VPU ops/element — pricier than the affine decode), so past a
-# few blocks the one-time dequant-to-dense path wins. Admission waves in
-# the batcher (slots * padded prompt rows per wave) sit under this.
-GEMM_MAX_TOKENS = 1024
+# (~18-24 VPU ops/element — pricier than the affine decode), so the
+# fused path only wins while the wave fits ONE batch block (the affine
+# analog measured 2085 vs 3291 served tok/s at nb=4; see
+# lut_kernels.GEMM_MAX_TOKENS).
+GEMM_MAX_TOKENS = GEMM_TILE_B
 
 
 def _ntok(x) -> int:
