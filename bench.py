@@ -275,6 +275,11 @@ def _run_8b(quick):
             if isinstance(v, AnyPrecLinear):
                 lay[k] = with_act8(v)
         qparams = dict(qparams, layers=lay)
+        if isinstance(qparams.get("lm_head"), AnyPrecLinear):
+            # BENCH_HEAD=affine4: the 4-bit head takes the int8 MXU
+            # code-dot too (the int8 head is ~0.70 ms of the step at its
+            # HBM SOL; halved weight bytes moves it)
+            qparams = dict(qparams, lm_head=with_act8(qparams["lm_head"]))
     if os.environ.get("BENCH_UNROLL", "1") == "1":
         # per-layer weight buffers: Pallas operands bind directly instead of
         # being re-materialized from scan slices every step (engine.unroll_layers)
