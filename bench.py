@@ -264,9 +264,11 @@ def _run_8b(quick):
     qparams, cfg_q = _build_quantized_device(build_cfg, bits=2)
     if os.environ.get("BENCH_ACT", "8") == "8":
         # DEFAULT since round 4: int-domain W2A8 kernels (i32-word decode
-        # + int8 MXU code-dot) — 5.19 ms vs 6.24 ms per 8B step (192.6 vs
-        # 160.3 tok/s). The A8 activation quantization is the only numeric
-        # change, ppl-validated near-lossless on the real checkpoint
+        # + int8 MXU code-dot) — 5.19 ms vs 6.24 ms per 8B step (the r4
+        # recorded headline runs measured 192.6-194.3 tok/s across tunnel
+        # days; BENCH_r04.json recorded 194.3, vs 160.3 bf16-act). The A8
+        # activation quantization is the only numeric change,
+        # ppl-validated near-lossless on the real checkpoint
         # (2bit-affine-a8 1.3430 vs 2bit-affine 1.3409). BENCH_ACT=16
         # restores the bf16-activation kernels.
         from guidedquant_tpu.nn.linear import AnyPrecLinear, with_act8
@@ -275,10 +277,12 @@ def _run_8b(quick):
             if isinstance(v, AnyPrecLinear):
                 lay[k] = with_act8(v)
         qparams = dict(qparams, layers=lay)
-        if isinstance(qparams.get("lm_head"), AnyPrecLinear):
-            # BENCH_HEAD=affine4: the 4-bit head takes the int8 MXU
-            # code-dot too (the int8 head is ~0.70 ms of the step at its
-            # HBM SOL; halved weight bytes moves it)
+        if (os.environ.get("BENCH_HEAD", "int8") == "affine4"
+                and isinstance(qparams.get("lm_head"), AnyPrecLinear)):
+            # BENCH_HEAD=affine4 only (explicit gate, ADVICE r4): the
+            # 4-bit head takes the int8 MXU code-dot too (the int8 head
+            # is ~0.70 ms of the step at its HBM SOL; halved weight bytes
+            # moves it)
             qparams = dict(qparams, lm_head=with_act8(qparams["lm_head"]))
     if os.environ.get("BENCH_UNROLL", "1") == "1":
         # per-layer weight buffers: Pallas operands bind directly instead of

@@ -186,6 +186,40 @@ def with_act8(w: AnyPrecLinear) -> AnyPrecLinear:
     return w.replace(act_bits=8)
 
 
+# Measured serving policy (PERF_NOTES round 4): the int-domain W{b}A8
+# kernels win through decode batch ~32 (+7% served at 32 slots, 192.6 vs
+# 160.3 tok/s at B=1 on 8B) and lose slightly at 64 (-6%) — the per-token
+# A8 quantization pass and the int8-dot epilogue scale with batch.
+ACT8_MAX_SLOTS = 32
+
+
+def apply_act8_policy(params, slots: int = 1,
+                      enable: Optional[bool] = None):
+    """Apply the measured W{b}A8 activation policy to a model's layer
+    leaves: engage ``act_bits=8`` on every affine-fast-path AnyPrecLinear
+    when the decode batch (``slots``) is <= :data:`ACT8_MAX_SLOTS`.
+
+    ``enable``: force on/off (None = the measured policy). No-op for
+    non-affine leaves and for the dict entries that are not AnyPrecLinear.
+    Handles stacked (dict) and unrolled (tuple of dicts) layer layouts.
+    """
+    if enable is None:
+        enable = slots <= ACT8_MAX_SLOTS
+    if not enable:
+        return params
+
+    def _lay(lay):
+        return {k: (with_act8(v) if isinstance(v, AnyPrecLinear) else v)
+                for k, v in lay.items()}
+
+    out = dict(params)
+    if isinstance(params["layers"], (tuple, list)):
+        out["layers"] = tuple(_lay(l) for l in params["layers"])
+    else:
+        out["layers"] = _lay(params["layers"])
+    return out
+
+
 def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
                        dtype=jnp.float32) -> jnp.ndarray:
     """Decode packed codes -> dense [N, K] weight at the given precision.
@@ -204,15 +238,30 @@ def dequantize_anyprec(w: AnyPrecLinear, bits: Optional[int] = None,
         codes = unpack_bitplanes(w.qweight, bits)  # [N, K] in [0, 2^bits)
     lut = w.luts[bits].astype(dtype)  # [N, C]
     C = lut.shape[1]
-    if C <= 256:
+    if C <= 32:
         # select-sum over LUT columns: C fusable elementwise passes, no
-        # [N, K, C] materialization (a one-hot einsum at C=256 would need
-        # 256x the weight elements of HBM)
+        # [N, K, C] materialization
         out = jnp.zeros(codes.shape, dtype)
         for c in range(C):
             out = out + jnp.where(codes == c, lut[:, c:c + 1],
                                   jnp.zeros((), dtype))
         return out
+    if C <= 256:
+        # two-level resolve (ADVICE r4): a flat select-sum at C=256 emits
+        # 256 elementwise HLO passes, and a flat one-hot einsum needs a
+        # [N, K, 256] temporary. Split the code into hi/lo fields
+        # (lo = 16): partial[n,k,h] = sum_l 1[lo==l]*lut[n,16h+l] is one
+        # MXU einsum over a [N,K,16] one-hot, and the hi one-hot
+        # ([N,K,C/16]) selects among the partials — peak temporaries are
+        # (16 + C/16)x the weight elements instead of Cx, and the pass
+        # count is O(1) in C.
+        lo_sz = 16
+        hi_sz = C // lo_sz
+        oh_lo = jax.nn.one_hot(codes % lo_sz, lo_sz, dtype=dtype)
+        oh_hi = jax.nn.one_hot(codes // lo_sz, hi_sz, dtype=dtype)
+        partial = jnp.einsum("nkl,nhl->nkh", oh_lo,
+                             lut.reshape(-1, hi_sz, lo_sz))
+        return jnp.einsum("nkh,nkh->nk", oh_hi, partial)
     onehot = jax.nn.one_hot(codes, C, dtype=dtype)  # [N, K, C]
     return jnp.einsum("nkc,nc->nk", onehot, lut)
 

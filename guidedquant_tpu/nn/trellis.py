@@ -167,11 +167,17 @@ def apply_trellis(w: TrellisLinear, x: jnp.ndarray) -> jnp.ndarray:
     dispatch, qtip/lib/linear/quantized_linear.py:445-455):
 
     0. trainable tlut leaf -> traceable tlut decode (E2E finetune path);
-    1. column-cyclic kernel words + few tokens -> fused Pallas decode+matvec;
-    2. column-cyclic kernel words + many tokens (prefill) -> Pallas dequant to
-       dense + MXU matmul (on CPU: traceable XLA decode);
-    3. cached dense hatW;
-    4. traceable 256-stream 2mad decode (reference-format fallback).
+    1. column-cyclic kernel words, tokens <= trellis_kernel.MAX_BATCH ->
+       fused Pallas decode+matvec in ONE batch block (the decode hot loop);
+    2. kernel words, tokens <= GEMM_MAX_TOKENS (one GEMM_TILE_B batch
+       block) -> the same fused kernel on the batch-tiled GEMM path (no
+       dense-weight materialization; larger waves would re-decode the
+       trellis once per batch block, which loses to dequant — see
+       GEMM_MAX_TOKENS);
+    3. kernel words, larger token counts -> Pallas dequant to dense + MXU
+       matmul (on CPU: traceable XLA decode);
+    4. cached dense hatW;
+    5. traceable 256-stream 2mad decode (reference-format fallback).
     """
     t = matmul_hadUt(x * w.SU.astype(x.dtype))
     m, n = w.out_features, w.in_features

@@ -342,6 +342,19 @@ def _lut_matmul_kernel(x_ref, coef_ref, *rest, bits: int,
         preferred_element_type=jnp.float32)
 
 
+def _widebit_tile_n(N: int, tile_n: int, bits: int, TK: int) -> int:
+    """VMEM guard for the wide-bit resolve: it holds
+    len(RESOLVE_SPLIT)+2 [tile_n, TK] f32 temporaries on the Mosaic
+    stack; tile_n=256 at TK=4096 blows the 16 MB scoped-vmem limit
+    (measured OOM at bits=7). Clamp to the largest divisor of N <= 128
+    (prefer sublane-aligned multiples of 8) for ANY N > 128, including
+    row counts not divisible by 128 (ADVICE r4)."""
+    if bits < 5 or TK < 4096 or tile_n <= 128:
+        return tile_n
+    t = next((d for d in range(128, 7, -8) if N % d == 0), None)
+    return t or next(d for d in range(128, 0, -1) if N % d == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "tile_n"))
 def lut_matmul_tiled(x: jnp.ndarray, words, coef: jnp.ndarray,
                      bits: int, tile_n: int = 256) -> jnp.ndarray:
@@ -356,11 +369,7 @@ def lut_matmul_tiled(x: jnp.ndarray, words, coef: jnp.ndarray,
     B, K_pad = x.shape
     N = words_t[0].shape[0]
     TK = tile_k_for(bits)
-    if bits >= 5 and TK >= 4096 and tile_n > 128 and N % 128 == 0:
-        # wide-bit resolve holds len(RESOLVE_SPLIT)+2 [tile_n, TK] f32
-        # temporaries on the Mosaic stack; tile_n=256 at TK=4096 blows the
-        # 16 MB scoped-vmem limit (measured OOM at bits=7)
-        tile_n = 128
+    tile_n = _widebit_tile_n(N, tile_n, bits, TK)
     Ws = [TK * f // 32 for f in fs]
     n_ktiles = words_t[0].shape[1] // Ws[0]
     assert K_pad == n_ktiles * TK, (K_pad, n_ktiles, TK)

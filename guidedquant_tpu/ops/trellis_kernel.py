@@ -443,13 +443,13 @@ def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
 # a block-row dimension of the grid, and decode passes are shared across
 # it — B=64 measured working on the affine kernels (3906 tok/s at 8B).
 MAX_BATCH = 64
-GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
-# Prefill GEMM cap: each batch block re-streams + re-decodes the trellis
-# (~18-24 VPU ops/element — pricier than the affine decode), so the
-# fused path only wins while the wave fits ONE batch block (the affine
-# analog measured 2085 vs 3291 served tok/s at nb=4; see
-# lut_kernels.GEMM_MAX_TOKENS).
-GEMM_MAX_TOKENS = GEMM_TILE_B
+# Prefill GEMM policy is SHARED with the affine family (one cap, one
+# AFFINE_GEMM_MAX_TOKENS env override for A/B sweeps — ADVICE r4): each
+# batch block re-streams + re-decodes the trellis (~18-24 VPU
+# ops/element — pricier than the affine decode), so the fused path only
+# wins while the wave fits ONE batch block (the affine analog measured
+# 2085 vs 3291 served tok/s at nb=4).
+from .lut_kernels import GEMM_MAX_TOKENS, GEMM_TILE_B  # noqa: E402
 
 
 def _ntok(x) -> int:

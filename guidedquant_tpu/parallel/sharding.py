@@ -83,16 +83,100 @@ def _anyprec_spec(w: AnyPrecLinear, oa: str) -> AnyPrecLinear:
         in_features=w.in_features, act_bits=w.act_bits)
 
 
+def _trellis_spec(w, oa: str):
+    """Partition specs for a stacked [L, ...] TrellisLinear.
+
+    The reference provisions TP-sliced trellis checkpoints via ``rcp`` /
+    ``tp_rank`` (``qtip/lib/linear/quantized_linear.py:42-44``,
+    ``qtip/lib/algo/finetune.py:300-315``): row-parallel modules slice
+    out-features, column-parallel slice in-features. Here the same layout
+    is a GSPMD annotation: column-parallel (out on 'tp') shards the
+    m-derived axes (SV, hatW rows, kwords row-words), row-parallel shards
+    the n-derived axes (SU, hatW cols, kwords columns). K=3's phase-plane
+    kwords [L, 3, m/32, n] shard the m/32 (col) or n (row) axis.
+    """
+    from ..nn.trellis import TrellisLinear
+    col = oa == "tp"
+    if w.kwords is None:
+        kw = None
+    elif w.kwords.ndim == 4:  # K=3 phase planes [L, 3, m/32, n]
+        kw = P(None, None, "tp", None) if col else P(None, None, None, "tp")
+    else:                     # uniform K [L, m*K/32, n]
+        kw = P(None, "tp", None) if col else P(None, None, "tp")
+    # reference-format trellis [L, B_tiles, T*K/16]: tiles are (m_tile,
+    # n_tile) row-major, so contiguous chunks belong to m-tiles — shardable
+    # on 'tp' only for column-parallel; replicate otherwise.
+    tre = P(None, "tp", None) if col else P(None, None, None)
+    if w.trellis.shape[-1] == 1:  # kwords-path placeholder: replicate
+        tre = P(None, None, None)
+    return TrellisLinear(
+        trellis=tre,
+        SU=P(None, None) if col else P(None, "tp"),
+        SV=P(None, "tp") if col else P(None, None),
+        Wscale=P(None),
+        hatW=None if w.hatW is None else (
+            P(None, "tp", None) if col else P(None, None, "tp")),
+        kwords=kw,
+        tlut=None if w.tlut is None else P(None, None, None),
+        cycle=w.cycle, L_bits=w.L_bits, K=w.K, V=w.V,
+        tlut_bits=w.tlut_bits, decode_mode=w.decode_mode,
+        td_x=w.td_x, td_y=w.td_y,
+        out_features=w.out_features, in_features=w.in_features)
+
+
+def _bcq_spec(w, oa: str):
+    """Stacked BcqLinear: alpha [L, N, B], packed/qwords [L, B, N, K/32],
+    qbias [L, N]. Column-parallel shards N, row-parallel the packed K."""
+    from ..nn.bcq_linear import BcqLinear
+    col = oa == "tp"
+    pspec = P(None, None, "tp", None) if col else P(None, None, None, "tp")
+    return BcqLinear(
+        alpha=P(None, "tp", None) if col else P(None, None, None),
+        packed=pspec,
+        qbias=P(None, "tp") if col else P(None, None),
+        qwords=None if w.qwords is None else pspec,
+        out_features=w.out_features, in_features=w.in_features)
+
+
+def _actquant_spec(w, oa: str, ia: str):
+    """Stacked ActQuantLinear: dense-weight layout plus the int8 native
+    operands (wq like the weight; per-row wscale/rowsum follow N)."""
+    from ..nn.act_quant import ActQuantLinear
+    col = oa == "tp"
+    row = P(None, "tp") if col else P(None, None)
+    return ActQuantLinear(
+        weight=P(None, oa, ia),
+        bias=None if w.bias is None else row,
+        wq=None if w.wq is None else P(None, oa, ia),
+        wscale=None if w.wscale is None else row,
+        wq_rowsum=None if w.wq_rowsum is None else row,
+        in_bits=w.in_bits, in_sym=w.in_sym, in_groupsize=w.in_groupsize,
+        in_clip=w.in_clip, out_bits=w.out_bits, out_sym=w.out_sym,
+        online_had=w.online_had)
+
+
 def quantized_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
-    """Specs for a packed model (AnyPrecLinear leaves; fused or unfused,
-    Int8Linear head supported)."""
+    """Specs for a packed model (AnyPrecLinear / TrellisLinear / BcqLinear /
+    ActQuantLinear / Int8Linear leaves; fused or unfused)."""
     from ..nn.linear import Int8Linear
+    from ..nn.trellis import TrellisLinear
+    from ..nn.bcq_linear import BcqLinear
+    from ..nn.act_quant import ActQuantLinear
     part = {**MODULE_PARTITION, **_FUSED_PARTITION}
     layers: Dict[str, Any] = {}
     for name, w in params["layers"].items():
         if isinstance(w, AnyPrecLinear):
             oa, _ia = part.get(name, _COL)
             layers[name] = _anyprec_spec(w, oa)
+        elif isinstance(w, TrellisLinear):
+            oa, _ia = part.get(name, _COL)
+            layers[name] = _trellis_spec(w, oa)
+        elif isinstance(w, BcqLinear):
+            oa, _ia = part.get(name, _COL)
+            layers[name] = _bcq_spec(w, oa)
+        elif isinstance(w, ActQuantLinear):
+            oa, ia = part.get(name, _COL)
+            layers[name] = _actquant_spec(w, oa, ia)
         elif isinstance(w, Int8Linear):
             oa, ia = part.get(name, _COL)
             layers[name] = Int8Linear(
@@ -129,10 +213,22 @@ def to_named(mesh: Mesh, specs):
         is_leaf=lambda x: isinstance(x, P))
 
 
+def put_global(x, s: NamedSharding):
+    """device_put that also works when ``s`` spans multiple PROCESSES:
+    every process must hold the same host value (the single-controller
+    assumption of the reference's torchrun launches); each contributes its
+    addressable shards via make_array_from_callback."""
+    if jax.process_count() > 1:
+        import numpy as np
+        xn = np.asarray(x)
+        return jax.make_array_from_callback(
+            xn.shape, s, lambda idx, xn=xn: xn[idx])
+    return jax.device_put(x, s)
+
+
 def shard_params(mesh: Mesh, params, specs):
     shardings = to_named(mesh, specs)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), params, shardings)
+    return jax.tree_util.tree_map(put_global, params, shardings)
 
 
 # ---------------------------------------------------------------------------

@@ -86,8 +86,24 @@ def init_slots(cfg: ModelConfig, num_layers: int, slots: int, max_seq: int,
                      kv_bits=kv_bits)
 
 
+import os as _os
+
+# Per-slot KV write strategy for the single-token decode step. A vmapped
+# dynamic_update_slice over per-slot positions lowers to a select-rewrite
+# of the whole [B, S, KV, Dh] slab on TPU (the engine's shared-position
+# decode uses a cheap in-place DUS; slots genuinely differ in position, so
+# the batcher cannot). "point" uses one XLA scatter at the B unique
+# (slot, pos) rows instead. SLOT_WRITE=dus restores the vmapped form for
+# A/B (see tools/perf/served_breakdown.py).
+_SLOT_WRITE = _os.environ.get("SLOT_WRITE", "point")
+
+
 def _write_slots(cache, new, pos):
     """cache [B, S, KV, Dh]; new [B, S_new, KV, Dh]; pos [B] write offsets."""
+    if new.shape[1] == 1 and _SLOT_WRITE == "point":
+        B = cache.shape[0]
+        return cache.at[jnp.arange(B), pos].set(new[:, 0].astype(cache.dtype))
+
     def write_one(c, n, p):
         return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
     return jax.vmap(write_one)(cache, new, pos)
@@ -662,6 +678,15 @@ class ContinuousBatcher:
         # 0 disables). Sliding layers then cache only W positions/slot.
         from .engine import check_engine_arch
         check_engine_arch(cfg)
+        # Measured serving policy (PERF_NOTES r4, VERDICT r4 next 5): engage
+        # the int-domain W{b}A8 kernels on affine-fast-path leaves when the
+        # slot count is within the regime where A8 wins (<= ACT8_MAX_SLOTS).
+        # SERVED_ACT=16 forces bf16 activations, SERVED_ACT=8 forces A8.
+        import os as _os
+        from ..nn.linear import apply_act8_policy
+        _act_env = _os.environ.get("SERVED_ACT")
+        _enable = None if _act_env is None else (_act_env == "8")
+        params = apply_act8_policy(params, slots=slots, enable=_enable)
         if window is None:
             window = (cfg.sliding_window
                       if cfg.layer_types and cfg.sliding_window
@@ -689,7 +714,7 @@ class ContinuousBatcher:
             sh = NamedSharding(mesh, shd.kv_cache_spec())
 
             def _put(a):
-                return None if a is None else jax.device_put(a, sh)
+                return None if a is None else shd.put_global(a, sh)
 
             self.state = self.state.replace(
                 k=_put(self.state.k), v=_put(self.state.v),
@@ -710,6 +735,18 @@ class ContinuousBatcher:
         self._host_rng = np.random.default_rng(seed + 1)  # per-token path
         self._next_id = 0
         self.finished: Dict[int, Request] = {}
+
+    def _fetch(self, tree):
+        """Device->host fetch of small control arrays. Across a
+        multi-PROCESS mesh a jit output may not be fully addressable
+        locally; process_allgather materializes the same global value on
+        every process, keeping the host-side scheduling in lockstep (the
+        multi-host serving analog of the reference's rank-identical
+        control flow)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 32,
                temperature: float = 0.0) -> int:
@@ -749,7 +786,7 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(prompts), self.state,
             jnp.asarray(slot_ids), jnp.asarray(true_lens),
             jnp.asarray(valid))
-        toks = self._pick_host(np.asarray(logits, np.float32),
+        toks = self._pick_host(np.asarray(self._fetch(logits), np.float32),
                                np.asarray([r.temperature for r in reqs]
                                           + [0.0] * (self.slots - take),
                                           np.float32))
@@ -805,9 +842,9 @@ class ContinuousBatcher:
         logits, self.state = decode_step_slots(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.state,
             jnp.asarray(active))
+        logits, pos_host = self._fetch((logits, self.state.pos))
         toks = self._pick_host(np.asarray(logits, np.float32),
                                self.slot_temp)
-        pos_host = np.asarray(self.state.pos)  # one sync, not one per slot
         for b in range(self.slots):
             req = self.slot_req[b]
             if req is None:
@@ -840,8 +877,7 @@ class ContinuousBatcher:
             temps, kc, self.top_k)
         # one host fetch for all three (separate np.asarray calls are one
         # tunnel round trip each)
-        toks, valid, pos_host = jax.device_get(
-            (toks, valid, self.state.pos))
+        toks, valid, pos_host = self._fetch((toks, valid, self.state.pos))
         for b in range(self.slots):
             req = self.slot_req[b]
             if req is None:

@@ -28,7 +28,7 @@ class QuantizedCausalLM:
     def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
                        dtype=jnp.bfloat16, fuse: bool = True,
                        int8_head: bool = False, mesh=None,
-                       unroll: bool = True):
+                       unroll: bool = True, act8: Optional[bool] = None):
         import os
         from ..utils.cache import load_json
         meta = load_json(os.path.join(model_dir, "config.json"))
@@ -47,6 +47,16 @@ class QuantizedCausalLM:
             params = dict(params)
             params["lm_head"] = quantize_int8(head)
             cfg = cfg.replace(tie_word_embeddings=False)
+        if backend == "anyprec":
+            # Measured-best decode config (PERF_NOTES r4): W{b}A8 int-MXU
+            # kernels on affine-fast-path leaves (B=1 decode is the <=32
+            # regime where A8 wins; +0.15% ppl, quality-gated).
+            # ``act8=False`` or GQ_ACT8=0 opts out; no-op off the affine
+            # fast path.
+            from ..nn.linear import apply_act8_policy
+            if act8 is None and os.environ.get("GQ_ACT8") == "0":
+                act8 = False
+            params = apply_act8_policy(params, slots=1, enable=act8)
         obj = cls(cfg, params, backend, mesh=mesh)
         if fuse:
             obj.fuse()
@@ -83,8 +93,6 @@ class QuantizedCausalLM:
         north-star). Call ``parallel.distributed.init_distributed`` first
         on multi-host."""
         from ..parallel import sharding
-        if self.backend != "anyprec":
-            raise NotImplementedError("mesh sharding: anyprec backend only")
         self.mesh = mesh
         target = self._fused if self._fused is not None else self.params
         specs = sharding.quantized_param_specs(self.cfg, target)

@@ -192,3 +192,46 @@ def test_gptq_actorder_groupsize_scales():
     # each emitted value must sit on its emitted per-group grid
     np.testing.assert_allclose(Q, Wint * Scales, rtol=1e-5, atol=1e-6)
     assert np.abs(Wint).max() <= 7
+
+
+# --- r4 advice: two-level dequant resolve for wide LUTs -------------------
+
+def test_dequantize_anyprec_two_level_wide_lut():
+    """C in (32, 256]: the hi/lo-nibble two-level resolve must equal the
+    direct per-row LUT gather (flat select-sum is only used for C<=32)."""
+    import jax.numpy as jnp
+    from guidedquant_tpu.nn.linear import AnyPrecLinear, dequantize_anyprec
+    from guidedquant_tpu.ops.pack import pack_bitplanes
+
+    rng = np.random.default_rng(0)
+    for bits in (6, 8):
+        N, K = 8, 64
+        codes = rng.integers(0, 2 ** bits, size=(N, K))
+        lut = rng.normal(size=(N, 2 ** bits)).astype(np.float32)
+        qw = pack_bitplanes(codes, bits)
+        w = AnyPrecLinear(qweight=jnp.asarray(qw),
+                          luts={bits: jnp.asarray(lut)},
+                          precision=bits, out_features=N, in_features=K)
+        got = np.asarray(dequantize_anyprec(w))
+        ref = np.take_along_axis(lut, codes, axis=1)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+# --- r4 advice: wide-bit VMEM clamp must handle N % 128 != 0 --------------
+
+def test_widebit_tile_clamp_divisor():
+    """bits>=5 at TK>=4096 must clamp tile_n for ANY N > 128 (previously
+    only when N % 128 == 0), to a divisor of N so the kernel's
+    N % tile_n == 0 contract holds."""
+    from guidedquant_tpu.ops.lut_kernels import _widebit_tile_n
+
+    # the previously-missed case: N > 128, N % 128 != 0
+    for N in (192, 384, 1000, 129):
+        t = _widebit_tile_n(N, N, bits=5, TK=4096)
+        assert t <= 128 and N % t == 0, (N, t)
+    # 128-divisible N clamps to exactly 128
+    assert _widebit_tile_n(4096, 256, bits=7, TK=4096) == 128
+    # no clamp outside the wide-bit/long-K regime or when already <= 128
+    assert _widebit_tile_n(4096, 256, bits=4, TK=4096) == 256
+    assert _widebit_tile_n(4096, 256, bits=7, TK=2048) == 256
+    assert _widebit_tile_n(4096, 128, bits=7, TK=4096) == 128

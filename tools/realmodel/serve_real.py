@@ -11,6 +11,9 @@ prompts sampled from the held-out corpus.
 Usage: timeout 3600 python tools/realmodel/serve_real.py [bits-family]
        (default 2-affine: the fused-kernel-served config; 2-free serves
         the exact-poly kernel path)
+Env: SERVE_MODEL=pybyte-27m|pyword-190m (pyword = the word-vocab 190M
+     model whose geometry actually stresses the engine — VERDICT r4
+     next 7b), SERVE_SLOTS, NEW_TOK.
 """
 import json
 import os
@@ -26,6 +29,7 @@ from train_lm import load_params, model_preset  # noqa: E402
 
 SPEC = sys.argv[1] if len(sys.argv) > 1 else "2-affine"
 BITS, FAMILY = int(SPEC.split("-")[0]), SPEC.split("-")[1]
+MODEL = os.environ.get("SERVE_MODEL", "pybyte-27m")
 SLOTS = int(os.environ.get("SERVE_SLOTS", "16"))
 NEW_TOK = int(os.environ.get("NEW_TOK", "96"))
 SEQ, NEX = 512, 128
@@ -43,9 +47,12 @@ def main():
     from guidedquant_tpu.serve.batching import ContinuousBatcher
     from guidedquant_tpu.serve.fuse import fuse_projections
 
-    cfg = model_preset("pybyte-27m", SEQ)
-    params = load_params(f"{CACHE}/ckpt.npz")
-    z = np.load(f"{CACHE}/corpus.npz")
+    word = MODEL != "pybyte-27m"
+    cfg = model_preset(MODEL, SEQ)
+    params = load_params(f"{CACHE}/ckpt_word.npz" if word
+                         else f"{CACHE}/ckpt.npz")
+    z = np.load(f"{CACHE}/corpus_word.npz" if word
+                else f"{CACHE}/corpus.npz")
     train, val = z["train"], z["val"]
     rng = np.random.default_rng(1)
     starts = rng.integers(0, train.size - SEQ, size=NEX)
@@ -88,7 +95,7 @@ def main():
         d = time.perf_counter() - t0
         tot = sum(len(r.out) for r in done.values())
         dt = min(dt, d)
-    print(f"REAL pybyte-27m {ledger_key} (ledger ppl/byte "
+    print(f"REAL {MODEL} {ledger_key} (ledger ppl "
           f"{ppl if ppl is not None else 'MISSING'}): slots={SLOTS} "
           f"{tot} tokens in {dt:.2f}s -> {tot/dt:.0f} served tok/s/chip",
           flush=True)
