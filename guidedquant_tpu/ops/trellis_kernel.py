@@ -183,6 +183,42 @@ def _window_states(w_lo, w_hi, tile_n: int, tile_k: int, L: int = 16,
     return _srl(win, 32 - L)
 
 
+def _window_states_k3_v2(w3, msk, tile_n: int, tile_k: int, L: int = 16):
+    """K=3 extraction with PRECOMPUTED per-sublane operands (VERDICT r4
+    next 6): ``msk`` [3, tile_n, tile_k] int32 holds (m1, m2, sh) — the
+    phase masks and shift amounts are functions of the sublane index only,
+    so the v1 kernel's ~9 iota/mask-arithmetic passes per tile are replaced
+    by one constant VMEM block (cached across grid steps), and the blend
+    is refactored into 4 FMAs over plane differences (8 passes vs v1's
+    ~10+9)."""
+    rows = tile_n // 32
+    E0 = jnp.repeat(w3[0], 32, axis=0)
+    E1 = jnp.repeat(w3[1], 32, axis=0)
+    E2 = jnp.repeat(w3[2], 32, axis=0)
+    E3 = jnp.repeat(pltpu.roll(w3[0], rows - 1, 0) if rows > 1 else w3[0],
+                    32, axis=0)
+    m1, m2, sh = msk[0], msk[1], msk[2]
+    d10 = E1 - E0
+    d20 = E2 - E0
+    d21 = E2 - E1
+    d31 = E3 - E1
+    lo = E0 + m1 * d10 + m2 * d20
+    hi = E1 + m1 * d21 + m2 * d31
+    win = (lo << sh) | _srl(_srl(hi, 1), 31 - sh)
+    return _srl(win, 32 - L)
+
+
+def _k3_mask_operand(tile_n: int, tile_k: int) -> np.ndarray:
+    """Host-side (m1, m2, sh) per-sublane constants, lane-broadcast to
+    [3, tile_n, tile_k] int32 (one constant-index VMEM block)."""
+    p = np.arange(tile_n, dtype=np.int32) % 32
+    p3 = 3 * p
+    t = p3 >> 5
+    m = np.stack([(t == 1).astype(np.int32), (t == 2).astype(np.int32),
+                  (p3 & 31).astype(np.int32)])[:, :, None]
+    return np.ascontiguousarray(np.broadcast_to(m, (3, tile_n, tile_k)))
+
+
 def _window_states_k3(w3, tile_n: int, tile_k: int, L: int = 16):
     """K=3 extraction from phase planes. w3 [3, tile_n/32, tile_k] ->
     states [tile_n, tile_k].
@@ -274,37 +310,45 @@ def _roll_next(w, rows: int):
     return pltpu.roll(w, rows - 1, 0)
 
 
-def _tile_states(w_ref, tile_n: int, tile_k: int, L: int, K: int):
+def _tile_states(w_ref, msk_ref, tile_n: int, tile_k: int, L: int, K: int):
     if K == 3:
+        if msk_ref is not None:
+            return _window_states_k3_v2(w_ref[:], msk_ref[:], tile_n,
+                                        tile_k, L)
         return _window_states_k3(w_ref[:], tile_n, tile_k, L)
     w = w_ref[:]
     nxt = _roll_next(w, tile_n * K // 32)
     return _window_states(w, nxt, tile_n, tile_k, L, K)
 
 
-def _trellis_matmul_kernel(x_ref, w_ref, o_ref, *, mode: str, tile_n: int,
-                           tile_k: int, L: int, K: int):
+def _trellis_matmul_kernel(x_ref, w_ref, *rest, mode: str, tile_n: int,
+                           tile_k: int, L: int, K: int, k3v2: bool = False):
     """Grid (B/tile_b, m/tile_n, n/tile_k); f32 accumulation over k.
 
     x_ref [tile_b, tile_k] bf16; w_ref [tile_n*K/32, tile_k] int32 (or
-    [3, tile_n/32, tile_k] for K=3); o_ref [tile_b, tile_n].
+    [3, tile_n/32, tile_k] for K=3); o_ref [tile_b, tile_n]. With k3v2 an
+    extra msk operand [3, tile_n, tile_k] precedes o_ref.
     """
+    o_ref = rest[-1]
+    msk_ref = rest[0] if k3v2 else None
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    states = _tile_states(w_ref, tile_n, tile_k, L, K)
+    states = _tile_states(w_ref, msk_ref, tile_n, tile_k, L, K)
     vals = _DECODERS[mode](states).astype(jnp.bfloat16)
     o_ref[:] += lax.dot_general(
         x_ref[:], vals, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _trellis_dequant_kernel(w_ref, o_ref, *, mode: str, tile_n: int,
-                            tile_k: int, L: int, K: int):
-    states = _tile_states(w_ref, tile_n, tile_k, L, K)
+def _trellis_dequant_kernel(w_ref, *rest, mode: str, tile_n: int,
+                            tile_k: int, L: int, K: int, k3v2: bool = False):
+    o_ref = rest[-1]
+    msk_ref = rest[0] if k3v2 else None
+    states = _tile_states(w_ref, msk_ref, tile_n, tile_k, L, K)
     o_ref[:] = _DECODERS[mode](states).astype(o_ref.dtype)
 
 
@@ -318,13 +362,22 @@ def _dims_from_words(words, cycle: int, K: int):
     return mg * 32 // K, n
 
 
+# K=3 decode variant: v2 (precomputed mask operand, FMA blend) vs v1
+# (iota masks in-kernel); TRELLIS_K3=v2 selects v2 for A/B. Default stays
+# v1 until v2 is hardware-validated (interpret parity is green; see
+# tests/test_trellis_kernel.py::test_trellis_k3_v1_v2_parity).
+import os as _os
+_K3V2_DEFAULT = _os.environ.get("TRELLIS_K3", "v1") == "v2"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mode", "cycle", "tile_k", "L", "K",
-                                    "tile_b", "interpret"))
+                                    "tile_b", "interpret", "k3v2"))
 def trellis_matmul(x: jnp.ndarray, words: jnp.ndarray, mode: str = "2mad",
                    cycle: int = CYCLE, tile_k: int = 512, L: int = 16,
                    K: int = 2, tile_b: int = 0,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   k3v2: bool = _K3V2_DEFAULT) -> jnp.ndarray:
     """y[B, m] = x[B, n] @ decode(words)^T.
 
     words: [m*K/32, n] int32 (uniform K) or [3, m/32, n] (K=3).
@@ -353,27 +406,36 @@ def trellis_matmul(x: jnp.ndarray, words: jnp.ndarray, mode: str = "2mad",
         wspec = pl.BlockSpec((tile_n * K // 32, tile_k),
                              lambda b, i, j: (i, j),
                              memory_space=pltpu.VMEM)
+    use_v2 = K == 3 and k3v2
+    in_specs = [
+        pl.BlockSpec((tile_b, tile_k), lambda b, i, j: (b, j),
+                     memory_space=pltpu.VMEM),
+        wspec,
+    ]
+    operands = [x.astype(jnp.bfloat16), words]
+    if use_v2:
+        in_specs.append(pl.BlockSpec((3, tile_n, tile_k),
+                                     lambda b, i, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(_k3_mask_operand(tile_n, tile_k)))
 
     out = pl.pallas_call(
         functools.partial(_trellis_matmul_kernel, mode=mode, tile_n=tile_n,
-                          tile_k=tile_k, L=L, K=K),
+                          tile_k=tile_k, L=L, K=K, k3v2=use_v2),
         grid=(B // tile_b, m // tile_n, n // tile_k),
-        in_specs=[
-            pl.BlockSpec((tile_b, tile_k), lambda b, i, j: (b, j),
-                         memory_space=pltpu.VMEM),
-            wspec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_b, tile_n), lambda b, i, j: (b, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m * n
-            + (40 if K == 3 else 24) * m * n * (B // tile_b),
+            + ((28 if use_v2 else 40) if K == 3 else 24)
+            * m * n * (B // tile_b),
             bytes_accessed=(m * n * K // 8) * (B // tile_b)
             + B * n * 2 + B * m * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), words)
+    )(*operands)
     return out
 
 
@@ -406,11 +468,12 @@ def trellis_matmul_flex(x: jnp.ndarray, words: jnp.ndarray, mode: str,
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "cycle", "tile_k", "L", "K",
-                                    "dtype", "interpret"))
+                                    "dtype", "interpret", "k3v2"))
 def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
                     cycle: int = CYCLE, tile_k: int = 512, L: int = 16,
                     K: int = 2, dtype=jnp.bfloat16,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    k3v2: bool = _K3V2_DEFAULT) -> jnp.ndarray:
     """Decode kernel words -> dense [m, n] (prefill path)."""
     m, n = _dims_from_words(words, cycle, K)
     tile_n = cycle
@@ -423,16 +486,24 @@ def trellis_dequant(words: jnp.ndarray, mode: str = "2mad",
     else:
         wspec = pl.BlockSpec((tile_n * K // 32, tile_k),
                              lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    use_v2 = K == 3 and k3v2
+    in_specs = [wspec]
+    operands = [words]
+    if use_v2:
+        in_specs.append(pl.BlockSpec((3, tile_n, tile_k),
+                                     lambda i, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(_k3_mask_operand(tile_n, tile_k)))
     return pl.pallas_call(
         functools.partial(_trellis_dequant_kernel, mode=mode, tile_n=tile_n,
-                          tile_k=tile_k, L=L, K=K),
+                          tile_k=tile_k, L=L, K=K, k3v2=use_v2),
         grid=(m // tile_n, n // tile_k),
-        in_specs=[wspec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_n, tile_k), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), dtype),
         interpret=interpret,
-    )(words)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------

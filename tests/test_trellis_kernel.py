@@ -239,3 +239,31 @@ def test_apply_trellis_kwords_dispatch(cb, rng):
     y_k = np.asarray(apply_trellis(w_k, x))
     y_d = np.asarray(apply_trellis(w_d, x))
     np.testing.assert_allclose(y_k, y_d, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["2mad", "tpu2u"])
+def test_trellis_k3_v1_v2_parity(mode, rng):
+    """The v2 K=3 kernel (precomputed per-sublane mask operand, FMA blend)
+    must be bit-identical to v1 (in-kernel iota masks) and the oracle."""
+    cbk = BitshiftCodebook(L=16, K=3, V=1, decode_mode=mode)
+    m_, n_, cycle = 128, 256, 64
+    states = _random_cyclic_states((m_ // cycle) * n_, cycle, rng, K=3)
+    Qidxs = (states.reshape(m_ // cycle, n_, cycle)
+             .transpose(0, 2, 1).reshape(m_, n_))
+    words = tk.states_to_kwords(cbk, Qidxs, cycle=cycle)
+    dense = tk.decode_kwords_dense_np(cbk, words, m_, n_, cycle=cycle)
+
+    for v2 in (False, True):
+        d = np.asarray(tk.trellis_dequant(
+            jnp.asarray(words), mode, cycle=cycle, tile_k=128, K=3,
+            dtype=jnp.float32, interpret=True, k3v2=v2))
+        np.testing.assert_allclose(d, dense, atol=1e-6, err_msg=f"v2={v2}")
+
+    x = rng.normal(size=(4, n_)).astype(np.float32)
+    y1 = np.asarray(tk.trellis_matmul(
+        jnp.asarray(x), jnp.asarray(words), mode, cycle=cycle,
+        tile_k=128, K=3, interpret=True, k3v2=False))
+    y2 = np.asarray(tk.trellis_matmul(
+        jnp.asarray(x), jnp.asarray(words), mode, cycle=cycle,
+        tile_k=128, K=3, interpret=True, k3v2=True))
+    np.testing.assert_array_equal(y1, y2)

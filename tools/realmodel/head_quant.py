@@ -197,7 +197,24 @@ def main():
             np.savez_compressed(hpath, H=H, Hg=Hg)
             logger.info("head Hessian capture: %.1f s", time.time() - t0)
 
-    def run(key, solver):
+    def lnq_head(Huse, family, iters=2):
+        """LNQ alternating solve of the head (seed k-means weighted by the
+        input second moment, then CD + exact WLS codebook refits within
+        the family) — ``affine`` stays servable on the W4A8 affine
+        kernel; ``free`` serves via the exact per-row-LUT kernel."""
+        from guidedquant_tpu.solvers.seed import seed_and_upscale_module
+        from guidedquant_tpu.solvers import lnq as lnq_solver
+        Xsq = np.diag(H)  # H = sum X^T X -> diag is the column 2nd moment
+        gw = np.ascontiguousarray(np.broadcast_to(
+            np.maximum(Xsq, 1e-12)[None, :], W.shape))
+        luts, labels = seed_and_upscale_module(W, gw, 4, 4)
+        labels2, C, _log = lnq_solver.train_least_squares(
+            W, labels[:, 0, :].astype(np.int32), luts[-1][:, 0, :],
+            np.asarray(Huse, np.float32), num_iterations=iters,
+            cd_cycles=4, codebook_family=family)
+        return np.take_along_axis(C, labels2.astype(np.int64), axis=1)
+
+    def run(key, solver, a8=True):
         row = f"head4-{key}"
         if has_result(args.results, name, "ppl", "pycorpus-val", row):
             print(f"{row}: cached", flush=True)
@@ -206,7 +223,7 @@ def main():
         Q = solver()
         logger.info("%s solve: %.1f s, weight MSE %.3e", key,
                     time.time() - t0, float(((Q - W) ** 2).mean()))
-        ppl = eval_head(params, cfg, Q, val_stream, args.seq)
+        ppl = eval_head(params, cfg, Q, val_stream, args.seq, a8=a8)
         record_result(args.results, name, "ppl", "pycorpus-val", row,
                       float(ppl))
         print(f"{row} ppl: {ppl:.4f}", flush=True)
@@ -218,12 +235,23 @@ def main():
             run("msegrid", lambda: msegrid_head(W))
         elif c == "gptq":
             run("gptq", lambda: gptq_head(W, H))
+        elif c == "gptq-a16":
+            # W4-only ablation: same GPTQ weights, bf16 activations —
+            # decomposes the A8 activation share of the head ppl cost
+            run("gptq-a16", lambda: gptq_head(W, H), a8=False)
         elif c == "gptq-mse":
             run("gptq-mse", lambda: gptq_head(W, H, mse=True))
         elif c.startswith("gptq-g"):
             G = int(c.split("-g")[1])
             assert Hg.shape[0] == G, (Hg.shape, G)
             run(c, lambda: gptq_head(W, Hg))
+        elif c.startswith("lnq-"):
+            fam = c.split("-")[1]
+            guided = c.endswith("-g4")
+            Huse = Hg if guided else H[None]
+            # free-family heads serve via the exact-poly kernel (bf16
+            # activations) — record the config as served
+            run(c, lambda: lnq_head(Huse, fam), a8=(fam == "affine"))
         else:
             raise SystemExit(f"unknown config {c}")
 

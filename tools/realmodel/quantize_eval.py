@@ -175,12 +175,16 @@ def main():
             parts = spec.split("-")
             bits, family = int(parts[0]), parts[1]
             nosal = parts[-1] == "nosal"
+            groups = 1  # e.g. ds-2-free-g4: guided with G saliency groups
+            for t in parts[2:]:
+                if t.startswith("g") and t[1:].isdigit():
+                    groups = int(t[1:])
             tile = 512 if family == "shared" else None
             packed = layerwise_nuq(
                 name, cfg=cfg, params=params, seed_precision=bits,
                 cache_dir=args.cache_dir, dataset="pycorpus",
                 seq_len=args.seq, num_examples=args.num_examples,
-                num_groups=1, num_iterations=3, cd_cycles=4,
+                num_groups=groups, num_iterations=3, cd_cycles=4,
                 is_nosal=nosal, shared_shape_tile=tile,
                 codebook_family=family if family != "shared" else "free",
                 tokens=calib_tokens)
