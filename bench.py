@@ -82,8 +82,11 @@ def _build_quantized_device(cfg, bits=2, seed=7, family="affine"):
     (arbitrary per-row LUT, exact-polynomial kernel — the paper's
     free-codebook LNQ configuration; bits must be in KERNEL_BITS).
 
-    BENCH_HEAD: "int8" (default), "affine4" (4-bit affine any-prec head —
-    the mixed_pack configuration) or "bf16".
+    BENCH_HEAD: "affine5" (default since round 5: the guided head ladder
+    measured +0.087% ppl on the real 16k-vocab checkpoint — under the
+    +0.1% near-lossless gate — at 5.128 ms vs int8's 5.192; see
+    PERF_NOTES round 5), "affine4" (max speed: 4.901 ms / 204.0 tok/s at
+    a recorded +0.34% ppl), "affine{1..8}", "int8", or "bf16".
     """
     import jax
     import jax.numpy as jnp
@@ -152,9 +155,13 @@ def _build_quantized_device(cfg, bits=2, seed=7, family="affine"):
         "gate_up_proj": qlin(2 * f, d),
         "down_proj": qlin(d, f, k_tile_mult=pad_down),
     }
-    head_mode = os.environ.get("BENCH_HEAD", "int8")
-    if head_mode == "affine4":
-        head = qlin(V, d, b=4, stacked=False)
+    head_mode = os.environ.get("BENCH_HEAD", "affine5")
+    if head_mode.startswith("affine") and head_mode[6:].isdigit():
+        # affine4/affine5/affine6...: b-bit affine any-prec head. The
+        # affine code-dot kernel has ~flat pass count at every width, so
+        # 5/6-bit heads keep the fast path with 5/8 / 6/8 of the int8
+        # head's bytes (head_quant.py ladder picks the quality-viable b).
+        head = qlin(V, d, b=int(head_mode[6:]), stacked=False)
     elif head_mode == "bf16":
         head = (jax.random.normal(next(keys), (V, d)) * 0.02
                 ).astype(jnp.bfloat16)
@@ -277,12 +284,12 @@ def _run_8b(quick):
             if isinstance(v, AnyPrecLinear):
                 lay[k] = with_act8(v)
         qparams = dict(qparams, layers=lay)
-        if (os.environ.get("BENCH_HEAD", "int8") == "affine4"
+        if (os.environ.get("BENCH_HEAD", "affine5").startswith("affine")
                 and isinstance(qparams.get("lm_head"), AnyPrecLinear)):
-            # BENCH_HEAD=affine4 only (explicit gate, ADVICE r4): the
-            # 4-bit head takes the int8 MXU code-dot too (the int8 head
-            # is ~0.70 ms of the step at its HBM SOL; halved weight bytes
-            # moves it)
+            # BENCH_HEAD=affine{b} only (explicit gate, ADVICE r4): the
+            # b-bit head takes the int8 MXU code-dot too (the int8 head
+            # is ~0.70 ms of the step at its HBM SOL; reduced weight
+            # bytes move it). with_act8 no-ops above 7 bits.
             qparams = dict(qparams, lm_head=with_act8(qparams["lm_head"]))
     if os.environ.get("BENCH_UNROLL", "1") == "1":
         # per-layer weight buffers: Pallas operands bind directly instead of

@@ -34,6 +34,10 @@ if os.environ.get("Q8B_ACT", "16") == "8":
         if isinstance(v, AnyPrecLinear):
             lay[k] = with_act8(v)
     qp = dict(qp, layers=lay)
+    if isinstance(qp.get("lm_head"), AnyPrecLinear):
+        # BENCH_HEAD=affine{b} heads ride the W{b}A8 kernel too (matches
+        # bench._run_8b's head gate)
+        qp = dict(qp, lm_head=with_act8(qp["lm_head"]))
 qp = engine.unroll_layers(qp)
 
 null = jax.jit(lambda a: a + 1)

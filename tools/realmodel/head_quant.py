@@ -97,7 +97,7 @@ def capture_head_stats(params, cfg, tokens, groups=4, batch=8):
 
 
 def rtn_head(W, grid=16):
-    """Per-row min-max asym 4-bit grid (the r4 baseline)."""
+    """Per-row min-max asym affine grid (the r4 baseline at grid=16)."""
     lo = W.min(axis=1, keepdims=True)
     hi = W.max(axis=1, keepdims=True)
     s = np.maximum(hi - lo, 1e-12) / (grid - 1)
@@ -123,10 +123,11 @@ def msegrid_head(W, grid=16, points=13):
     return best
 
 
-def gptq_head(W, H, sym=False, mse=False, actorder=True, percdamp=0.01):
+def gptq_head(W, H, sym=False, mse=False, actorder=True, percdamp=0.01,
+              bits=4):
     from guidedquant_tpu.solvers.spinquant.gptq import gptq_quantize
     from guidedquant_tpu.solvers.spinquant.quant import WeightQuantConfig
-    cfg = WeightQuantConfig(bits=4, perchannel=True, sym=sym, mse=mse)
+    cfg = WeightQuantConfig(bits=bits, perchannel=True, sym=sym, mse=mse)
     Q, _, _ = gptq_quantize(W.astype(np.float32), H.astype(np.float32),
                             cfg, blocksize=128, percdamp=percdamp,
                             actorder=actorder)
@@ -146,8 +147,11 @@ def eval_head(params, cfg, Q, val_stream, seq, a8=True):
 
 
 def main():
+    import faulthandler
+    import signal
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="pyword-190m")
     p.add_argument("--ckpt", default=None)
@@ -182,7 +186,7 @@ def main():
     name = cfg.name
     W = np.asarray(params["lm_head"], np.float32)
 
-    need_H = any(c.startswith("gptq") for c in args.configs)
+    need_H = any("gptq" in c or c.startswith("lnq") for c in args.configs)
     H = Hg = None
     hpath = os.path.join(args.cache_dir, f"head_hessian_{name}.npz")
     if need_H:
@@ -229,7 +233,36 @@ def main():
         print(f"{row} ppl: {ppl:.4f}", flush=True)
 
     for c in args.configs:
-        if c == "rtn":
+        if c.startswith("b") and "-" in c and c[1:c.index("-")].isdigit():
+            # bits-parameterized affine rows, e.g. b5-gptq, b6-msegrid,
+            # b5-rtn: the affine code-dot kernel has ~flat pass count at
+            # every width 1-8, so a 5/6-bit head keeps the fast path while
+            # shrinking the grid error the W4 ladder measured as the
+            # entire ppl cost (head4-gptq-a16 == head4-gptq).
+            b = int(c[1:c.index("-")])
+            meth = c[c.index("-") + 1:]
+            row = f"head{b}-{meth}"
+            if meth == "rtn":
+                sol = lambda: rtn_head(W, grid=2 ** b)  # noqa: E731
+            elif meth == "msegrid":
+                sol = lambda: msegrid_head(W, grid=2 ** b)  # noqa: E731
+            elif meth == "gptq":
+                sol = lambda: gptq_head(W, H, bits=b)  # noqa: E731
+            else:
+                raise SystemExit(f"unknown config {c}")
+
+            def run_b(row=row, sol=sol):
+                if has_result(args.results, name, "ppl", "pycorpus-val",
+                              row):
+                    print(f"{row}: cached", flush=True)
+                    return
+                Q = sol()
+                ppl = eval_head(params, cfg, Q, val_stream, args.seq)
+                record_result(args.results, name, "ppl", "pycorpus-val",
+                              row, float(ppl))
+                print(f"{row} ppl: {ppl:.4f}", flush=True)
+            run_b()
+        elif c == "rtn":
             run("rtn", lambda: rtn_head(W))
         elif c == "msegrid":
             run("msegrid", lambda: msegrid_head(W))
@@ -259,7 +292,7 @@ def main():
         res = json.load(f)
     rows = {k: v for k, v in
             res[name]["ppl"]["pycorpus-val"].items()
-            if k.startswith("head4") or k == "fp32"}
+            if k.startswith("head") or k == "fp32"}
     print(json.dumps(rows, indent=1), flush=True)
 
 
