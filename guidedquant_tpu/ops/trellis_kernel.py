@@ -363,11 +363,12 @@ def _dims_from_words(words, cycle: int, K: int):
 
 
 # K=3 decode variant: v2 (precomputed mask operand, FMA blend) vs v1
-# (iota masks in-kernel); TRELLIS_K3=v2 selects v2 for A/B. Default stays
-# v1 until v2 is hardware-validated (interpret parity is green; see
-# tests/test_trellis_kernel.py::test_trellis_k3_v1_v2_parity).
+# (iota masks in-kernel). v2 is the default since round 5: HW-validated
+# bit-exact (hw_trellis_check tpu2u/2mad K=3) and measured 38.1 vs
+# 42.2 ms on the full 8B K=3 step (same-day A/B; PERF_NOTES round 5).
+# TRELLIS_K3=v1 restores v1.
 import os as _os
-_K3V2_DEFAULT = _os.environ.get("TRELLIS_K3", "v1") == "v2"
+_K3V2_DEFAULT = _os.environ.get("TRELLIS_K3", "v2") == "v2"
 
 
 @functools.partial(jax.jit,
