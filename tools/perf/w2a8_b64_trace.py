@@ -43,19 +43,28 @@ params = engine.unroll_layers(dict(params, layers=lay))
 
 
 def device_op_times(logdir):
-    """Aggregate event durations (us) by op name on the device plane."""
+    """Aggregate event durations (us) by op KIND on the device 'XLA Ops'
+    line only (other lines — modules, async, steps — hold overlapping
+    parent regions that would double-count). Instance suffixes are
+    stripped so e.g. all W2A8 kernel calls aggregate to one row; the
+    'while' row is the loop parent and contains the rest."""
     import glob
+    import re
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     assert files, f"no xplane under {logdir}"
     pd = jax.profiler.ProfileData.from_file(files[0])
     agg = defaultdict(float)
     for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if not plane.name.startswith("/device:TPU"):
             continue
         for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
-                agg[ev.name] += ev.duration_ns / 1e3
+                name = ev.name.split(" = ")[0].lstrip("%")
+                kind = re.sub(r"[.\d]+$", "", name)
+                agg[kind] += ev.duration_ns / 1e3
     return agg
 
 
