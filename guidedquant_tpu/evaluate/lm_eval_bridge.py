@@ -34,8 +34,12 @@ class _JaxLM:
         self.tok = tokenizer
         self.batch_size = batch_size
         self.max_length = max_length
-        fwd = jax.jit(lambda t: llama.forward(params, cfg, t))
-        self._forward = lambda t: fwd(jnp.asarray(t))
+        # params must be an ARGUMENT, not a closure capture: captured
+        # arrays are baked into the HLO as literals, and on the axon
+        # remote-compile transport a 190M-param model's serialized
+        # constants exceed the request-body limit (HTTP 413).
+        fwd = jax.jit(lambda p, t: llama.forward(p, cfg, t))
+        self._forward = lambda t: fwd(self.params, jnp.asarray(t))
 
     # -- helpers -----------------------------------------------------------
 

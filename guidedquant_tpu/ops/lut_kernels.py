@@ -819,6 +819,51 @@ def _affine_w2a8_kernel(x_ref, sx_ref, sumx_ref, s_ref, m_ref, *rest,
                     + sumx_ref[:] * m_ref[:])
 
 
+def _a8_quant_kernel(x_ref, xq_ref, sx_ref, sumx_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-30) * jnp.float32(1.0 / 127.0)
+    xq_ref[:] = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    sx_ref[:] = sx
+    sumx_ref[:] = jnp.sum(xf, axis=1, keepdims=True)
+
+
+# The XLA form of the per-token A8 quantize emits a reduce fusion + an
+# elementwise fusion + layout copies per linear (~14 us each over the
+# tunnel-profiled trace; 470 us/step at L=8 B=32 — see PERF_NOTES r5
+# B=64 trace). This one-pass Pallas form replaces them. A8_QUANT=pallas
+# selects it (A/B; pending hardware validation of the in-kernel int8
+# store — interpret parity is green).
+_A8_QUANT_DEFAULT = os.environ.get("A8_QUANT", "xla")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def a8_quantize(x: jnp.ndarray, interpret: bool = False):
+    """[B, K] -> (xq int8 [B, K], sx f32 [B, 1], sumx f32 [B, 1]) in one
+    fused Pallas pass (row absmax -> scale -> int8 codes + row sum)."""
+    B, K = x.shape
+    return pl.pallas_call(
+        _a8_quant_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, K), jnp.int8),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        interpret=interpret,
+    )(x)
+
+
+def _a8_quant(x: jnp.ndarray):
+    """Dispatch: fused Pallas pass on TPU (unless A8_QUANT=xla), XLA ops
+    otherwise. Numerics identical (same round/clip expression)."""
+    if (_A8_QUANT_DEFAULT == "pallas"
+            and jax.default_backend() in ("tpu", "axon")):
+        return a8_quantize(x)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-30) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx, jnp.sum(xf, axis=1, keepdims=True)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "tile_n", "block_k",
                                              "tile_b", "interpret"))
 def lut_matmul_affine_w2a8(x: jnp.ndarray, words, srow: jnp.ndarray,
@@ -847,11 +892,7 @@ def lut_matmul_affine_w2a8(x: jnp.ndarray, words, srow: jnp.ndarray,
     assert n_ktiles % block_k == 0, (n_ktiles, block_k)
     n_jsteps = n_ktiles // block_k
 
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-30) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    sumx = jnp.sum(xf, axis=1, keepdims=True)
+    xq, sx, sumx = _a8_quant(x)
 
     def _wspec(W_f):
         return pl.BlockSpec((tile_n, block_k * W_f), lambda b, i, j: (i, j),

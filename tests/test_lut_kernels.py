@@ -193,3 +193,24 @@ def test_poly_is_exact_interpolation(bits):
     codes = np.tile(np.arange(C, dtype=np.uint8)[None], (N, 1))
     got = poly_eval_np(coef.astype(np.float64), codes, bits)
     np.testing.assert_allclose(got, lut, atol=5e-4 * max(1.0, np.abs(lut).max()))
+
+
+def test_a8_quantize_kernel_matches_xla(rng):
+    """The fused Pallas A8-quantize pass (one kernel instead of XLA's
+    reduce fusion + elementwise fusion + layout copies per linear; see
+    PERF_NOTES r5 B=64 trace) must reproduce the XLA path: codes exactly,
+    scales to f32 rounding, row sums to reduce-order tolerance."""
+    import jax.numpy as jnp
+    from guidedquant_tpu.ops import lut_kernels as lk
+
+    for B, K in [(1, 4096), (64, 14336), (8, 512)]:
+        x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32) * 3)
+        xq, sx, sumx = lk.a8_quantize(x, interpret=True)
+        xf = np.asarray(x, np.float32)
+        amax = np.abs(xf).max(axis=1, keepdims=True)
+        sx_ref = np.maximum(amax, 1e-30) / 127.0
+        xq_ref = np.clip(np.round(xf / sx_ref), -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(np.asarray(xq), xq_ref)
+        np.testing.assert_allclose(np.asarray(sx), sx_ref, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sumx),
+                                   xf.sum(1, keepdims=True), rtol=1e-4)
