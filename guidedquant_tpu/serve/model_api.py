@@ -28,7 +28,8 @@ class QuantizedCausalLM:
     def from_quantized(cls, model_dir: str, precision: Optional[int] = None,
                        dtype=jnp.bfloat16, fuse: bool = True,
                        int8_head: bool = False, mesh=None,
-                       unroll: bool = True, act8: Optional[bool] = None):
+                       unroll: bool = True, act8: Optional[bool] = None,
+                       head_bits: Optional[int] = None):
         import os
         from ..utils.cache import load_json
         meta = load_json(os.path.join(model_dir, "config.json"))
@@ -41,11 +42,23 @@ class QuantizedCausalLM:
             cfg, params = load_packed(model_dir, precision=precision,
                                       dtype=dtype)
             backend = "anyprec"
+        if int8_head and head_bits:
+            raise ValueError("int8_head and head_bits are exclusive")
         if int8_head:
             from ..nn.linear import quantize_int8
             head = params.get("lm_head", params["embed"])
             params = dict(params)
             params["lm_head"] = quantize_int8(head)
+            cfg = cfg.replace(tie_word_embeddings=False)
+        elif head_bits:
+            # b-bit per-row affine head on the fast code-dot kernel path
+            # (data-free MSE-grid; 5-bit measured +0.08% ppl on the real
+            # checkpoint — PERF_NOTES round 5). The a8 policy below also
+            # applies to it when the backend qualifies.
+            from ..nn.linear import quantize_affine
+            head = params.get("lm_head", params["embed"])
+            params = dict(params)
+            params["lm_head"] = quantize_affine(head, bits=head_bits)
             cfg = cfg.replace(tie_word_embeddings=False)
         if backend == "anyprec":
             # Measured-best decode config (PERF_NOTES r4): W{b}A8 int-MXU
@@ -53,10 +66,15 @@ class QuantizedCausalLM:
             # regime where A8 wins; +0.15% ppl, quality-gated).
             # ``act8=False`` or GQ_ACT8=0 opts out; no-op off the affine
             # fast path.
-            from ..nn.linear import apply_act8_policy
+            from ..nn.linear import (AnyPrecLinear, apply_act8_policy,
+                                     with_act8)
             if act8 is None and os.environ.get("GQ_ACT8") == "0":
                 act8 = False
             params = apply_act8_policy(params, slots=1, enable=act8)
+            if (act8 is not False
+                    and isinstance(params.get("lm_head"), AnyPrecLinear)):
+                params = dict(params,
+                              lm_head=with_act8(params["lm_head"]))
         obj = cls(cfg, params, backend, mesh=mesh)
         if fuse:
             obj.fuse()

@@ -73,3 +73,32 @@ def test_int8_head_option(packed_dir):
     assert isinstance(lm.params["lm_head"], Int8Linear)
     out, _ = lm.generate(np.array([[5, 9, 3]]), max_new_tokens=5)
     assert out.shape == (1, 8)
+
+
+def test_head_bits_option(packed_dir):
+    """head_bits=5: data-free per-row affine head (MSE-grid, the measured
+    near-lossless config) on the fast kernel path, a8-engaged."""
+    lm = QuantizedCausalLM.from_quantized(packed_dir, dtype=jnp.float32,
+                                          head_bits=5)
+    from guidedquant_tpu.nn.linear import AnyPrecLinear
+    head = lm.params["lm_head"]
+    assert isinstance(head, AnyPrecLinear) and head.precision == 5
+    assert head.srow is not None and head.qwords is not None  # affine path
+    assert head.act_bits == 8  # a8 policy covers the head
+    out, _ = lm.generate(np.array([[5, 9, 3]]), max_new_tokens=5)
+    assert out.shape == (1, 8)
+
+    # the quantized head is close to the dense head it replaces
+    import jax.numpy as jnp2
+    from guidedquant_tpu.nn.linear import dequantize_anyprec
+    lm2 = QuantizedCausalLM.from_quantized(packed_dir, dtype=jnp.float32)
+    W = np.asarray(lm2.params.get("lm_head", lm2.params["embed"]),
+                   np.float32)
+    Wq = np.asarray(dequantize_anyprec(head, dtype=jnp2.float32))
+    rel = np.linalg.norm(Wq - W) / np.linalg.norm(W)
+    # ~expected 5-bit affine noise on Gaussian weights (step/sqrt(12))
+    assert rel < 0.06, rel
+
+    with pytest.raises(ValueError):
+        QuantizedCausalLM.from_quantized(packed_dir, int8_head=True,
+                                         head_bits=5)
