@@ -291,6 +291,12 @@ def main():
                               "2-shared", "nosal"]
     for w in wanted:
         parts = w.split("-")
+        if parts[0] == "ds":
+            # downstream specs keep their suffixes (-gN parsed inside
+            # run_downstream); popping them here would alias e.g.
+            # ds-2-free-g4 onto the cached ds-2-free
+            run_downstream("-".join(parts[1:]))
+            continue
         groups = 1
         act8 = False
         if parts[-1] == "a8":  # e.g. 2-affine-a8: W{b}A8 kernel-path ppl
@@ -305,8 +311,6 @@ def main():
         elif parts[0] == "qtipcol":  # e.g. qtipcol-2-tpu2u, qtipcol-3-2mad
             run_qtip(int(parts[1]), groups, decode_mode=parts[2], V=1,
                      stream_format="column")
-        elif parts[0] == "ds":  # e.g. ds-fp32, ds-2-free, ds-2-free-nosal
-            run_downstream("-".join(parts[1:]))
         elif parts[1:] == ["qtip"]:
             run_qtip(int(parts[0]), groups)
         elif parts[0] == "spinquant":  # e.g. spinquant-4-4
