@@ -831,10 +831,14 @@ def _a8_quant_kernel(x_ref, xq_ref, sx_ref, sumx_ref):
 # The XLA form of the per-token A8 quantize emits a reduce fusion + an
 # elementwise fusion + layout copies per linear (~14 us each over the
 # tunnel-profiled trace; 470 us/step at L=8 B=32 — see PERF_NOTES r5
-# B=64 trace). This one-pass Pallas form replaces them. A8_QUANT=pallas
-# selects it (A/B; pending hardware validation of the in-kernel int8
-# store — interpret parity is green).
-_A8_QUANT_DEFAULT = os.environ.get("A8_QUANT", "xla")
+# B=64 trace). The one-pass Pallas form replaces them where it measured
+# a win: batched decode 2 <= B <= 32 (same-day 8B steps: B=32 9.994 vs
+# 10.314 ms; B=1 a wash 5.154 vs 5.128; B=64 LOSES 17.11 vs 16.45 —
+# the single-block [64, 14336] kernel serializes where XLA parallelizes).
+# HW-validated exact vs the device XLA path at B in {1, 32, 64}
+# (a8_quant_probe.py). A8_QUANT=pallas|xla forces one form everywhere.
+_A8_QUANT_DEFAULT = os.environ.get("A8_QUANT", "auto")
+_A8_PALLAS_MAX_B = 32
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -852,10 +856,13 @@ def a8_quantize(x: jnp.ndarray, interpret: bool = False):
 
 
 def _a8_quant(x: jnp.ndarray):
-    """Dispatch: fused Pallas pass on TPU (unless A8_QUANT=xla), XLA ops
-    otherwise. Numerics identical (same round/clip expression)."""
-    if (_A8_QUANT_DEFAULT == "pallas"
-            and jax.default_backend() in ("tpu", "axon")):
+    """Dispatch: fused Pallas pass on TPU in its measured-win regime
+    (auto: 2 <= B <= 32), XLA ops otherwise. Numerics identical on
+    device (same round/clip expression; probe-verified)."""
+    use_pallas = (_A8_QUANT_DEFAULT == "pallas"
+                  or (_A8_QUANT_DEFAULT == "auto"
+                      and 2 <= x.shape[0] <= _A8_PALLAS_MAX_B))
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
         return a8_quantize(x)
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
