@@ -786,10 +786,17 @@ class ContinuousBatcher:
             self.params, self.cfg, jnp.asarray(prompts), self.state,
             jnp.asarray(slot_ids), jnp.asarray(true_lens),
             jnp.asarray(valid))
-        toks = self._pick_host(np.asarray(self._fetch(logits), np.float32),
-                               np.asarray([r.temperature for r in reqs]
-                                          + [0.0] * (self.slots - take),
-                                          np.float32))
+        if all(r.temperature == 0.0 for r in reqs):
+            # greedy wave: fetch the device-side argmax ([B] ints) instead
+            # of the full [B, V] logits — at a 128k vocab that fetch is
+            # ~16 MB per admission wave over a tunnel transport
+            toks = np.asarray(self._fetch(jnp.argmax(logits, axis=-1)),
+                              np.int64)
+        else:
+            toks = self._pick_host(
+                np.asarray(self._fetch(logits), np.float32),
+                np.asarray([r.temperature for r in reqs]
+                           + [0.0] * (self.slots - take), np.float32))
         for i, req in enumerate(reqs):
             b = int(slot_ids[i])
             tok = int(toks[i])
