@@ -660,14 +660,15 @@ def lut_matmul_affine(x: jnp.ndarray, words, srow: jnp.ndarray,
 
 GEMM_TILE_B = 256     # batch rows per block on the prefill GEMM path
 # Fused-GEMM prefill cap: each batch block re-streams + re-DECODES the
-# packed weights, so the fused path only wins while the wave fits ONE
-# batch block (decode happens once and the dense materialization is
-# saved). Beyond that, nb x decode-ALU loses to dequant's 1 x decode +
-# ~4 bytes/weight HBM: MEASURED r4 at 1B 32 slots (1024-token waves,
-# nb=4): 2085 served tok/s with the GEMM path vs 3291 with dequant.
-# Overridable for A/B via AFFINE_GEMM_MAX_TOKENS.
+# packed weights, so the fused path trades nb x decode-ALU against
+# dequant's 1 x decode + ~4 bytes/weight dense HBM round trip. r4
+# measured nb=4 losing at 1B (2085 vs 3291 served tok/s, old serving
+# stack); r5 — with the point-write/argmax serving stack — measured
+# nb=2 WINNING at 8B/32 (2786 vs 2628 same-day) and tying at 1B
+# (7167 vs 7100), so the default cap is TWO batch blocks. Overridable
+# for A/B via AFFINE_GEMM_MAX_TOKENS (PERF_NOTES round 5).
 GEMM_MAX_TOKENS = int(os.environ.get("AFFINE_GEMM_MAX_TOKENS",
-                                     str(GEMM_TILE_B)))
+                                     str(2 * GEMM_TILE_B)))
 
 
 def lut_matmul_affine_flex(x: jnp.ndarray, words,
